@@ -1,0 +1,187 @@
+"""One-class reference-embedding scoring (reference: oc_classifier.py).
+
+Pipeline parity:
+- PHASE 1 (reference: oc_classifier.py:159-202): embed every bonafide train
+  utterance, reference embedding = mean, threshold = max distance to the
+  mean; artefacts cached with an exists-check (`reference_embedding.npy` /
+  `threshold.npy` here, .pt in the reference), distances appended to
+  `distances.txt`.
+- PHASE 2, four scoring modes (reference: oc_classifier.py:206-312):
+  1c: score = Euclidean distance to the reference embedding, written as
+      "{distance}, {1 if > threshold else 0} \n";
+  2c: score = bonafide logit, written bare.
+  The x-c-1 variants (separate extractor+encoder) and x-c-2 variants (fused
+  model) differ only in the embed function the caller passes in.
+
+TPU-first: where the reference loops batch=1 full-length utterances through
+DataParallel, utterances here are repeat-padded to a small set of length
+buckets and embedded in batches — one compiled program per bucket, MXU fed
+with real batches. distances use torch pairwise_distance eps semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from occm_tpu.audio import pad_numpy
+from occm_tpu.io.scorefiles import write_score_line_1c, write_score_line_2c
+from occm_tpu.losses import pairwise_distance
+
+
+class BucketedEmbedder:
+    """Batch variable-length utterances through a fixed-shape embed fn.
+
+    embed_fn(x [B, T]) -> (emb [B, D], logits [B, C]); jitted per bucket.
+    Buckets are multiples of `bucket_step` samples; utterances are
+    repeat-padded (reference pad semantics) up to the bucket boundary.
+    """
+
+    def __init__(self, embed_fn: Callable, bucket_step: int = 16000,
+                 max_len: int = 16000 * 12, batch_size: int = 8):
+        self._embed = jax.jit(embed_fn)
+        self.bucket_step = bucket_step
+        self.max_len = max_len
+        self.batch_size = batch_size
+
+    def _bucket_len(self, n: int) -> int:
+        b = ((n + self.bucket_step - 1) // self.bucket_step) * self.bucket_step
+        return min(max(b, self.bucket_step), self.max_len)
+
+    def embed_all(self, waves: Iterable[np.ndarray],
+                  progress: Optional[Callable[[int], None]] = None
+                  ) -> np.ndarray:
+        """Embed every waveform, preserving input order."""
+        waves = list(waves)
+        order: List[Tuple[int, int]] = [
+            (i, self._bucket_len(len(w))) for i, w in enumerate(waves)
+        ]
+        embs: List[Optional[np.ndarray]] = [None] * len(waves)
+
+        # group by bucket, batch within bucket
+        by_bucket = {}
+        for i, blen in order:
+            by_bucket.setdefault(blen, []).append(i)
+
+        done = 0
+        for blen, idxs in sorted(by_bucket.items()):
+            for start in range(0, len(idxs), self.batch_size):
+                chunk = idxs[start: start + self.batch_size]
+                batch = np.stack(
+                    [pad_numpy(waves[i], blen) for i in chunk]
+                ).astype(np.float32)
+                # pad the batch dim to the full batch size to keep one
+                # compiled program per bucket
+                pad_rows = self.batch_size - len(chunk)
+                if pad_rows:
+                    batch = np.concatenate(
+                        [batch, np.zeros((pad_rows, blen), np.float32)]
+                    )
+                emb, _ = self._embed(jnp.asarray(batch))
+                emb = np.asarray(emb)
+                for j, i in enumerate(chunk):
+                    embs[i] = emb[j]
+                done += len(chunk)
+                if progress:
+                    progress(done)
+        return np.stack(embs)  # type: ignore[arg-type]
+
+
+class OneClassScorer:
+    """Reference-embedding one-class scorer (reference: oc_classifier.py)."""
+
+    def __init__(self, embedder: BucketedEmbedder, cache_dir: str = "."):
+        self.embedder = embedder
+        self.cache_dir = cache_dir
+
+    # ---- phase 1 ----
+    def create_reference_embedding(
+        self, dataset, distances_txt: Optional[str] = "distances.txt",
+        verbose: bool = False,
+    ) -> Tuple[np.ndarray, float]:
+        """Mean bonafide embedding + max-distance threshold with artefact
+        cache resume (reference: oc_classifier.py:159-202)."""
+        ref_path = os.path.join(self.cache_dir, "reference_embedding.npy")
+        thr_path = os.path.join(self.cache_dir, "threshold.npy")
+        if os.path.exists(ref_path) and os.path.exists(thr_path):
+            return np.load(ref_path), float(np.load(thr_path))
+
+        waves = (dataset[i][0] for i in range(len(dataset)))
+        embs = self.embedder.embed_all(
+            waves,
+            progress=(lambda n: print(f"embedded {n} ...")) if verbose else None,
+        )
+        reference = embs.mean(axis=0)
+
+        dists = np.asarray(
+            pairwise_distance(jnp.asarray(embs), jnp.asarray(reference))
+        )
+        if distances_txt:
+            with open(os.path.join(self.cache_dir, distances_txt), "a") as f:
+                for d in dists:
+                    f.write(f"{float(d)}\n")
+        threshold = float(dists.max())
+
+        np.save(ref_path, reference)
+        np.save(thr_path, np.float32(threshold))
+        return reference, threshold
+
+    # ---- phase 2 ----
+    def score_eval_set_1c(
+        self, dataset, reference: np.ndarray, threshold: float,
+        score_file: str = "scores.txt", verbose: bool = False,
+    ) -> None:
+        """One-class scoring: distance + thresholded prediction per line
+        (reference: oc_classifier.py:243-265)."""
+        waves = (dataset[i][0] for i in range(len(dataset)))
+        embs = self.embedder.embed_all(
+            waves,
+            progress=(lambda n: print(f"Processing file counts: {n} ..."))
+            if verbose else None,
+        )
+        dists = np.asarray(
+            pairwise_distance(jnp.asarray(embs), jnp.asarray(reference))
+        )
+        with open(score_file, "w") as f:
+            for d in dists:
+                write_score_line_1c(f, float(d), threshold)
+
+    def score_eval_set_2c(
+        self, dataset, score_file: str = "scores.txt",
+        verbose: bool = False,
+    ) -> None:
+        """Two-class scoring: bare bonafide logit per line
+        (reference: oc_classifier.py:293-312 writes out[0][0])."""
+        waves = [dataset[i][0] for i in range(len(dataset))]
+        # logits come from the same embed fn; re-run capturing them
+        logits_out: List[np.ndarray] = []
+
+        embed = self.embedder._embed
+        bs = self.embedder.batch_size
+        order = [(i, self.embedder._bucket_len(len(w)))
+                 for i, w in enumerate(waves)]
+        by_bucket = {}
+        for i, blen in order:
+            by_bucket.setdefault(blen, []).append(i)
+        logits_all: List[Optional[np.ndarray]] = [None] * len(waves)
+        for blen, idxs in sorted(by_bucket.items()):
+            for start in range(0, len(idxs), bs):
+                chunk = idxs[start: start + bs]
+                batch = np.stack(
+                    [pad_numpy(waves[i], blen) for i in chunk]
+                ).astype(np.float32)
+                if len(chunk) < bs:
+                    batch = np.concatenate(
+                        [batch, np.zeros((bs - len(chunk), blen), np.float32)]
+                    )
+                _, logits = embed(jnp.asarray(batch))
+                logits = np.asarray(logits)
+                for j, i in enumerate(chunk):
+                    logits_all[i] = logits[j]
+        with open(score_file, "w") as f:
+            for lg in logits_all:
+                write_score_line_2c(f, float(lg[0]))  # bonafide logit

@@ -1,0 +1,130 @@
+"""One-class classifier / scoring CLI — flag-compatible with the reference
+(reference: oc_classifier.py:316-331).
+
+Phase 1 builds the bonafide reference embedding + threshold (cached);
+phase 2 scores the eval set with the selected mode (1c2 default, matching
+reference: oc_classifier.py:358).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="One-class classifier")
+    parser.add_argument("--pretrained-sslaasist", type=str,
+                        default="aasist_vocoded_1",
+                        help="orbax checkpoint dir from oc_training")
+    parser.add_argument("--pretrained-ssl", type=str, default=None)
+    parser.add_argument("--pretrained-senet", type=str, default=None)
+    parser.add_argument(
+        "--protocol_file", type=str,
+        default="/datab/Dataset/ASVspoof/LA/ASVspoof_LA_cm_protocols/"
+                "ASVspoof2019.LA.cm.train.trn.txt",
+    )
+    parser.add_argument(
+        "--dataset_dir", type=str,
+        default="/datab/Dataset/ASVspoof/LA/ASVspoof2019_LA_train/flac",
+    )
+    parser.add_argument(
+        "--eval_protocol_file", type=str,
+        default="/datab/Dataset/ASVspoof/LA/ASVspoof_LA_cm_protocols/"
+                "ASVspoof2019.LA.cm.eval.trl.txt",
+    )
+    parser.add_argument(
+        "--eval_dataset_dir", type=str,
+        default="/datab/Dataset/ASVspoof/LA/ASVspoof2019_LA_eval/flac",
+    )
+    parser.add_argument("--mode", type=str, default="1c2",
+                        choices=["1c1", "1c2", "2c1", "2c2"],
+                        help="scoring mode (reference: "
+                             "oc_classifier.py:206-312)")
+    parser.add_argument("--score_file", type=str, default="scores.txt")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--bucket_step", type=int, default=16000)
+    parser.add_argument("--xlsr_tiny", action="store_true")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from occm_tpu.classify import BucketedEmbedder, OneClassScorer
+    from occm_tpu.config import AASISTConfig, XLSRConfig
+    from occm_tpu.data import ASVDataset
+    from occm_tpu.models import AModel, SSLResNet34
+    from occm_tpu.train.checkpoint import restore_params
+
+    xlsr_cfg = XLSRConfig.tiny() if args.xlsr_tiny else XLSRConfig()
+    separate = args.mode in ("1c1", "2c1")
+    if separate:
+        # separate (extractor, encoder) pair == ssl + se_resnet34 path
+        model = SSLResNet34(xlsr_cfg=xlsr_cfg)
+        ckpt = args.pretrained_ssl or args.pretrained_sslaasist
+    else:
+        model = AModel(AASISTConfig(), xlsr_cfg=xlsr_cfg)
+        ckpt = args.pretrained_sslaasist
+
+    # init to build the template, then restore
+    sample = jnp.zeros((1, 64600), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        sample,
+    )
+    try:
+        restored = restore_params(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {}),
+             "opt_state": None, "step": None},
+            ckpt,
+        )
+        params = restored["params"]
+        batch_stats = restored["batch_stats"]
+        print("Pretrained weights loaded")
+    except Exception as e:  # pragma: no cover - CLI convenience path
+        print(f"WARNING: could not restore {ckpt} ({e}); using random init")
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+    def embed_fn(x):
+        v = {"params": params}
+        if batch_stats:
+            v["batch_stats"] = batch_stats
+        out = model.apply(v, x, train=False)
+        if isinstance(out, tuple):
+            emb, logits = out
+        else:
+            emb = logits = out
+        return emb, logits
+
+    embedder = BucketedEmbedder(
+        embed_fn, bucket_step=args.bucket_step, batch_size=args.batch_size
+    )
+    scorer = OneClassScorer(embedder)
+
+    train_dataset = ASVDataset(args.protocol_file, args.dataset_dir)
+    eval_dataset = ASVDataset(
+        args.eval_protocol_file, args.eval_dataset_dir, eval=True
+    )
+
+    if args.mode in ("1c1", "1c2"):
+        reference, threshold = scorer.create_reference_embedding(
+            train_dataset, verbose=True
+        )
+        scorer.score_eval_set_1c(
+            eval_dataset, reference, threshold,
+            score_file=args.score_file, verbose=True,
+        )
+        print(f"threshold = {threshold}")
+    else:
+        scorer.score_eval_set_2c(
+            eval_dataset, score_file=args.score_file, verbose=True
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""One-class training CLI — flag-compatible with the reference trainer
+(reference: oc_training.py:279-290), plus first-class knobs for what the
+reference toggled by commenting code in/out (model choice, loss weights,
+RawBoost; reference: oc_training.py:320-332,380-381).
+
+Usage:
+    python -m occm_tpu.cli.oc_training \
+        --train_protocol_file ... --train_dataset_dir ... --model aasist
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import optax
+
+from occm_tpu.config import (
+    AASISTConfig,
+    MeshConfig,
+    RawBoostConfig,
+    TrainConfig,
+    XLSRConfig,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Train a model on a dataset")
+    # reference flags (oc_training.py:279-290)
+    parser.add_argument(
+        "--train_dataset_dir", type=str,
+        default="/datab/Dataset/ASVspoof/LA/ASVspoof2019_LA_train/wav",
+    )
+    parser.add_argument(
+        "--test_dataset_dir", type=str,
+        default="/datab/Dataset/ASVspoof/LA/ASVspoof2019_LA_eval/flac",
+    )
+    parser.add_argument("--model", type=str, default="aasist",
+                        choices=["aasist", "ssl_resnet34", "ssl_lcnn",
+                                 "occm", "cnn"])
+    parser.add_argument("--finetuned", action="store_true", default=False)
+    parser.add_argument(
+        "--train_protocol_file", type=str,
+        default="/datab/Dataset/ASVspoof/LA/ASVspoof_LA_cm_protocols/"
+                "ASVspoof2019.LA.cm.train.trn.txt",
+    )
+    parser.add_argument(
+        "--test_protocol_file", type=str,
+        default="/datab/Dataset/ASVspoof/LA/ASVspoof_LA_cm_protocols/"
+                "ASVspoof2019.LA.cm.eval.trl.txt",
+    )
+    # framework knobs (defaults = reference shipped config,
+    # oc_training.py:324,342,380-382)
+    parser.add_argument("--lr", type=float, default=1e-5)
+    parser.add_argument("--num_epochs", type=int, default=100)
+    parser.add_argument("--compactness_weight", type=float, default=0.0)
+    parser.add_argument("--descriptiveness_weight", type=float, default=1.0)
+    parser.add_argument("--groups_per_step", type=int, default=1)
+    parser.add_argument("--cut", type=int, default=64600)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--vocoded_dir", type=str, default=None)
+    parser.add_argument("--checkpoint_dir", type=str, default=".")
+    parser.add_argument("--dp", type=int, default=-1)
+    parser.add_argument("--tp", type=int, default=1)
+    parser.add_argument("--rawboost_algo", type=int, default=0,
+                        help="0 disables (matches the reference's "
+                             "commented-out call); 1-8 enable on-device "
+                             "RawBoost")
+    parser.add_argument("--wandb_project", type=str, default=None)
+    parser.add_argument("--xlsr_tiny", action="store_true",
+                        help="tiny XLSR config (CPU smoke runs)")
+    return parser
+
+
+def make_model(name: str, xlsr_cfg: XLSRConfig):
+    from occm_tpu.models import AModel, OCCM, SSLLCNN, SSLResNet34, TotalCNNNet
+
+    if name == "aasist":
+        return AModel(AASISTConfig(), xlsr_cfg=xlsr_cfg), "dual"
+    if name == "ssl_resnet34":
+        return SSLResNet34(xlsr_cfg=xlsr_cfg), "dual"
+    if name == "ssl_lcnn":
+        return SSLLCNN(xlsr_cfg=xlsr_cfg), "logits"
+    if name == "cnn":
+        return TotalCNNNet(xlsr_cfg=xlsr_cfg), "logits"
+    if name == "occm":
+        raise NotImplementedError(
+            "occm dual-branch training: use ssl_resnet34/ssl_lcnn branches"
+        )
+    raise ValueError(name)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    cfg = TrainConfig(
+        model=args.model,
+        lr=args.lr,
+        num_epochs=args.num_epochs,
+        compactness_weight=args.compactness_weight,
+        descriptiveness_weight=args.descriptiveness_weight,
+        seed=args.seed,
+        cut=args.cut,
+        groups_per_step=args.groups_per_step,
+        rawboost=RawBoostConfig(algo=args.rawboost_algo),
+        mesh=MeshConfig(dp=args.dp, tp=args.tp),
+        checkpoint_dir=args.checkpoint_dir,
+        wandb_project=args.wandb_project,
+    )
+
+    print("*************************************************")
+    print(f"Train dataset dir = {args.train_dataset_dir}")
+    print(f"Test dataset dir = {args.test_dataset_dir}")
+    print(f"model = {args.model}")
+    print(f"finetuned = {args.finetuned}")
+    print(f"train_protocol_file = {args.train_protocol_file}")
+    print(f"test_protocol_file = {args.test_protocol_file}")
+    print("*************************************************")
+
+    from occm_tpu.data import MetaBatchPipeline, PFDataset
+    from occm_tpu.train.checkpoint import save_checkpoint
+    from occm_tpu.train.loop import train
+
+    dataset = PFDataset(
+        args.train_protocol_file,
+        dataset_dir=args.train_dataset_dir,
+        vocoded_dir=args.vocoded_dir,
+        cut=cfg.cut,
+        seed=cfg.seed,
+    )
+    pipeline = MetaBatchPipeline(
+        dataset, groups_per_step=cfg.groups_per_step, seed=cfg.seed
+    )
+
+    xlsr_cfg = XLSRConfig.tiny() if args.xlsr_tiny else XLSRConfig()
+    model, output_kind = make_model(args.model, xlsr_cfg)
+
+    prefix = f"{args.model}_vocoded"  # reference naming: aasist_vocoded_{e}
+
+    def checkpoint_fn(state, epoch):
+        print("Saving the models...")
+        save_checkpoint(state, cfg.checkpoint_dir, prefix, epoch)
+
+    print("Training starts...")
+    train(
+        model, pipeline, cfg,
+        checkpoint_fn=checkpoint_fn, output_kind=output_kind,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters configuration across argparse defaults and commented-out
+code (reference: oc_training.py:279-290, oc_training.py:75-121 builds the
+RawBoost argparse namespace *inside the dataset*). Here every knob is a frozen
+dataclass so model choice, loss weights and RawBoost parameters are first-class
+and the defaults reproduce the reference exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RawBoostConfig:
+    """RawBoost augmentation hyper-parameters.
+
+    Defaults mirror the reference argparse defaults
+    (reference: oc_training.py:79-119).
+    algo: 0 none, 1 LnL, 2 ISD, 3 SSI, 4 (1+2+3), 5 (1+2), 6 (1+3),
+    7 (2+3), 8 (1||2)  (reference: data_utils_SSL.py:111-173).
+    """
+
+    algo: int = 3
+    # LnL convolutive noise
+    nBands: int = 5
+    minF: int = 20
+    maxF: int = 8000
+    minBW: int = 100
+    maxBW: int = 1000
+    minCoeff: int = 10
+    maxCoeff: int = 100
+    minG: int = 0
+    maxG: int = 0
+    minBiasLinNonLin: int = 5
+    maxBiasLinNonLin: int = 20
+    N_f: int = 5
+    # ISD additive noise
+    P: int = 10
+    g_sd: int = 2
+    # SSI additive noise
+    SNRmin: int = 10
+    SNRmax: int = 40
+    # sample rate the filters are designed against
+    fs: int = 16000
+
+
+@dataclasses.dataclass(frozen=True)
+class XLSRConfig:
+    """wav2vec2 / XLSR architecture.
+
+    Defaults are the XLSR-R 300M ("xlsr2_300m") configuration loaded by the
+    reference through fairseq (reference: models/xlsr.py:29-30): 7-layer conv
+    feature encoder with overall stride 320, 24 transformer layers,
+    d_model 1024, 16 heads, FFN 4096, pre-norm, conv positional embedding.
+    """
+
+    # conv feature encoder: (dim, kernel, stride) per layer
+    conv_layers: Tuple[Tuple[int, int, int], ...] = (
+        (512, 10, 5),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 2, 2),
+        (512, 2, 2),
+    )
+    extractor_mode: str = "layer_norm"  # layer-norm in every conv block (XLSR)
+    encoder_layers: int = 24
+    encoder_embed_dim: int = 1024
+    encoder_ffn_dim: int = 4096
+    encoder_heads: int = 16
+    conv_pos: int = 128          # positional conv kernel
+    conv_pos_groups: int = 16
+    layer_norm_first: bool = True
+    dropout: float = 0.0
+    out_dim: int = 1024          # SSLModel.out_dim (reference: models/xlsr.py:33)
+    remat: bool = True           # jax.checkpoint each transformer block
+    dtype: str = "bfloat16"      # compute dtype for the MXU path
+
+    @staticmethod
+    def tiny() -> "XLSRConfig":
+        """Small config for CPU tests."""
+        return XLSRConfig(
+            conv_layers=((32, 10, 5), (32, 3, 2), (32, 2, 2)),
+            encoder_layers=2,
+            encoder_embed_dim=64,
+            encoder_ffn_dim=128,
+            encoder_heads=4,
+            conv_pos=16,
+            conv_pos_groups=4,
+            out_dim=64,
+            remat=False,
+            dtype="float32",
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class AASISTConfig:
+    """AASIST graph-attention backend hyper-parameters.
+
+    Defaults mirror the hard-coded values in the reference
+    (reference: models/sslassist.py:438-441).
+    """
+
+    filts: Tuple = (128, (1, 32), (32, 32), (32, 64), (64, 64))
+    gat_dims: Tuple[int, int] = (64, 32)
+    pool_ratios: Tuple[float, float, float, float] = (0.5, 0.5, 0.5, 0.5)
+    temperatures: Tuple[float, float, float, float] = (2.0, 2.0, 100.0, 100.0)
+    pos_s_nodes: int = 42        # pos_S shape (1, 42, 64) (reference: models/sslassist.py:473)
+    ll_dim: int = 128            # LL: 1024 -> 128 (reference: models/sslassist.py:448)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh / parallelism layout.
+
+    The reference's only strategy is single-host DataParallel
+    (reference: oc_training.py:328). Here the batch ("meta-batch group") axis is
+    `dp` and tensor parallelism over the XLSR transformer is `tp`; both are
+    expressed as a `jax.sharding.Mesh` so XLA inserts ICI collectives.
+    """
+
+    dp: int = -1   # -1: use all devices on the dp axis
+    tp: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyper-parameters (reference: oc_training.py:324,342,380-382)."""
+
+    model: str = "aasist"          # aasist | ssl_resnet34 | ssl_lcnn | occm | cnn ...
+    lr: float = 1e-5
+    num_epochs: int = 100
+    compactness_weight: float = 0.0
+    descriptiveness_weight: float = 1.0
+    # alt config (reference: test_dataloader_v2.py:73,127): lr=1e-4, 0.1/0.9
+    seed: int = 0
+    cut: int = 64600               # ~4 s at 16 kHz (reference: data_utils_SSL.py:67)
+    meta_batch: int = 12           # 6 bona + 1 spoof + 5 vocoded (reference: oc_training.py:201-256)
+    groups_per_step: int = 1       # G meta-batches stacked [G*12, T] per train step
+    rawboost: RawBoostConfig = dataclasses.field(default_factory=RawBoostConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    checkpoint_dir: str = "."
+    checkpoint_prefix: str = "aasist_vocoded"  # reference: oc_training.py:401
+    log_every: int = 100           # reference: oc_training.py:391
+    loss_txt: str = "loss.txt"
+    wandb_project: Optional[str] = None  # set to "oc_classifier" to mirror the reference

@@ -1,0 +1,12 @@
+from occm_tpu.data.sampler import PFSampler, VOCODER_NAMES
+from occm_tpu.data.datasets import PFDataset, ASVDataset
+from occm_tpu.data.pipeline import MetaBatchPipeline, Prefetcher
+
+__all__ = [
+    "PFSampler",
+    "VOCODER_NAMES",
+    "PFDataset",
+    "ASVDataset",
+    "MetaBatchPipeline",
+    "Prefetcher",
+]

@@ -1,0 +1,101 @@
+"""Host input pipeline: shuffled meta-batch assembly + background prefetch.
+
+The reference's DataLoader runs with num_workers=0 and batch_size=1
+(reference: oc_training.py:313) — decode latency lands on the training
+thread. Here a background thread decodes and assembles the next G
+meta-batches ([G*12, cut]) while the device steps, and the arrays are
+fixed-shape so every step hits the same compiled program.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from occm_tpu.data.datasets import PFDataset
+
+
+class Prefetcher:
+    """Wrap any iterator with a depth-N background prefetch thread."""
+
+    def __init__(self, it: Iterator, depth: int = 2):
+        self._it = it
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            for item in self._it:
+                self._q.put(item)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item
+
+
+class MetaBatchPipeline:
+    """Epoch iterator over PFDataset yielding ([G*12, cut], [G*12]) arrays.
+
+    G = groups_per_step meta-batches are stacked so the global batch shards
+    evenly over the dp mesh axis (SURVEY.md §2.3).
+    """
+
+    def __init__(
+        self,
+        dataset: PFDataset,
+        groups_per_step: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_remainder: bool = True,
+        prefetch_depth: int = 2,
+    ):
+        self.dataset = dataset
+        self.groups = groups_per_step
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.prefetch_depth = prefetch_depth
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.dataset) // self.groups
+        if not self.drop_remainder and len(self.dataset) % self.groups:
+            n += 1
+        return n
+
+    def _epoch_iter(self, epoch: int):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        self.dataset.reseed(self.seed * 1_000_003 + epoch)
+
+        group_feats, group_labels = [], []
+        for idx in order:
+            f, l = self.dataset[int(idx)]
+            group_feats.append(f)
+            group_labels.append(l)
+            if len(group_feats) == self.groups:
+                yield (
+                    np.concatenate(group_feats, axis=0),
+                    np.concatenate(group_labels, axis=0),
+                )
+                group_feats, group_labels = [], []
+        if group_feats and not self.drop_remainder:
+            yield (
+                np.concatenate(group_feats, axis=0),
+                np.concatenate(group_labels, axis=0),
+            )
+
+    def epoch(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        return Prefetcher(self._epoch_iter(epoch), depth=self.prefetch_depth)

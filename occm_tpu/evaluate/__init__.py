@@ -1,0 +1,11 @@
+from occm_tpu.evaluate.eval_scores import (
+    calculate_eer_from_labels,
+    calculate_eer_merged,
+    evaluate_scores,
+)
+
+__all__ = [
+    "calculate_eer_from_labels",
+    "calculate_eer_merged",
+    "evaluate_scores",
+]

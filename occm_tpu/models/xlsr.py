@@ -1,0 +1,210 @@
+"""XLSR wav2vec2 encoder in Flax — the TPU-native replacement for the
+fairseq frontend the reference loads from `xlsr2_300m.pt`
+(reference: models/xlsr.py:25-52, models/sslassist.py:20-49:
+`SSLModel.extract_feat(wave[B,T]) -> [B, frames, 1024]` with
+features_only=True, mask=False).
+
+Architecture (XLSR-R 300M):
+- 7-layer conv feature encoder, overall stride 320 / receptive field 400
+  (64600 samples -> 201 frames), layer-norm extractor mode, GELU.
+- feature LayerNorm + 512->1024 projection.
+- grouped conv relative positional embedding (k=128, groups=16, SamePad).
+- 24 pre-norm transformer layers, d=1024, 16 heads, FFN 4096, GELU,
+  final LayerNorm (layer_norm_first=True semantics).
+
+TPU-first design decisions:
+- layers are folded with `nn.scan` (single compiled block, stacked [L, ...]
+  params — fast XLA compiles) and rematerialised with `nn.remat` so the
+  64600-sample batch fits HBM during fine-tuning.
+- matmuls run in bf16 (`cfg.dtype`) against fp32 parameters; layer norms and
+  softmax stay fp32 (MXU-friendly, numerically safe).
+- attention logits/softmax computed at fp32 via preferred_element_type.
+
+The PyTorch->JAX checkpoint converter for fairseq weights lives in
+`occm_tpu.models.convert_xlsr` (weight-norm on pos_conv is folded there).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from occm_tpu.config import XLSRConfig
+
+
+def _dtype(cfg: XLSRConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+class ConvFeatureExtractor(nn.Module):
+    """wav2vec2 conv subsampler (fairseq ConvFeatureExtractionModel
+    equivalent). Input [B, T] waveform, output [B, frames, conv_dim]."""
+
+    cfg: XLSRConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = _dtype(self.cfg)
+        h = x[..., None].astype(dt)  # [B, T, 1]
+        for i, (dim, k, s) in enumerate(self.cfg.conv_layers):
+            h = nn.Conv(
+                dim, (k,), strides=(s,), padding="VALID", use_bias=True,
+                dtype=dt, name=f"conv_{i}",
+            )(h)
+            if self.cfg.extractor_mode == "layer_norm":
+                h = nn.LayerNorm(dtype=jnp.float32, name=f"ln_{i}")(
+                    h.astype(jnp.float32)
+                ).astype(dt)
+            elif i == 0:
+                h = nn.GroupNorm(
+                    num_groups=dim, dtype=jnp.float32, name="gn_0"
+                )(h.astype(jnp.float32)).astype(dt)
+            h = jax.nn.gelu(h, approximate=False)
+        return h
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention, fp32 softmax, bf16 matmuls."""
+
+    cfg: XLSRConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        d = cfg.encoder_embed_dim
+        h = cfg.encoder_heads
+        hd = d // h
+        B, T, _ = x.shape
+
+        q = nn.Dense(d, dtype=dt, name="q_proj")(x)
+        k = nn.Dense(d, dtype=dt, name="k_proj")(x)
+        v = nn.Dense(d, dtype=dt, name="v_proj")(x)
+
+        q = q.reshape(B, T, h, hd) * (hd ** -0.5)
+        k = k.reshape(B, T, h, hd)
+        v = v.reshape(B, T, h, hd)
+
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(B, T, d)
+        return nn.Dense(d, dtype=dt, name="out_proj")(out)
+
+
+class TransformerLayer(nn.Module):
+    """Pre-/post-norm transformer block (fairseq
+    TransformerSentenceEncoderLayer equivalent)."""
+
+    cfg: XLSRConfig
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        train = self.train
+        dt = _dtype(cfg)
+        drop = lambda: nn.Dropout(cfg.dropout, deterministic=not train)
+        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
+
+        residual = x
+        h = ln("self_attn_layer_norm")(x) if cfg.layer_norm_first else x
+        h = SelfAttention(cfg, name="self_attn")(h, train=train)
+        h = drop()(h)
+        x = residual + h
+        if not cfg.layer_norm_first:
+            x = ln("self_attn_layer_norm")(x)
+
+        residual = x
+        h = ln("final_layer_norm")(x) if cfg.layer_norm_first else x
+        h = nn.Dense(cfg.encoder_ffn_dim, dtype=dt, name="fc1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.encoder_embed_dim, dtype=dt, name="fc2")(h)
+        h = drop()(h)
+        x = residual + h
+        if not cfg.layer_norm_first:
+            x = ln("final_layer_norm")(x)
+        return x
+
+
+class XLSREncoder(nn.Module):
+    """Full wav2vec2/XLSR feature extractor: raw wave -> contextual features.
+
+    Drop-in for the reference's `SSLModel.extract_feat`
+    (reference: models/xlsr.py:35-49): [B, T] -> [B, frames, out_dim].
+    """
+
+    cfg: XLSRConfig = XLSRConfig()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        if x.ndim == 3:  # reference squeezes a trailing channel dim
+            x = x[:, :, 0]
+
+        feats = ConvFeatureExtractor(cfg, name="feature_extractor")(
+            x, train=train
+        )
+        conv_dim = cfg.conv_layers[-1][0]
+
+        feats = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(
+            feats.astype(jnp.float32)
+        ).astype(dt)
+        if conv_dim != cfg.encoder_embed_dim:
+            feats = nn.Dense(
+                cfg.encoder_embed_dim, dtype=dt, name="post_extract_proj"
+            )(feats)
+
+        # relative positional conv embedding (SamePad: even kernel drops the
+        # trailing element), grouped conv + GELU
+        pad = cfg.conv_pos // 2
+        pos = nn.Conv(
+            cfg.encoder_embed_dim, (cfg.conv_pos,),
+            padding=((pad, pad),),
+            feature_group_count=cfg.conv_pos_groups,
+            dtype=dt, name="pos_conv",
+        )(feats)
+        if cfg.conv_pos % 2 == 0:
+            pos = pos[:, : feats.shape[1], :]
+        pos = jax.nn.gelu(pos, approximate=False)
+        x = feats + pos
+
+        if not cfg.layer_norm_first:
+            x = nn.LayerNorm(dtype=jnp.float32, name="encoder_layer_norm")(
+                x.astype(jnp.float32)
+            ).astype(dt)
+
+        # scan + remat over the transformer stack: stacked [L, ...] params,
+        # one compiled block, recompute activations on the backward pass
+        block_cls = TransformerLayer
+        if cfg.remat:
+            block_cls = nn.remat(block_cls, prevent_cse=False)
+
+        class ScannedStack(nn.Module):
+            cfg: XLSRConfig
+            train: bool
+
+            @nn.compact
+            def __call__(self, carry, _):
+                y = block_cls(self.cfg, self.train, name="layer")(carry)
+                return y, None
+
+        stack = nn.scan(
+            ScannedStack,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=cfg.encoder_layers,
+        )(cfg, train, name="layers")
+        x, _ = stack(x, None)
+
+        if cfg.layer_norm_first:
+            x = nn.LayerNorm(dtype=jnp.float32, name="encoder_layer_norm")(
+                x.astype(jnp.float32)
+            )
+        return x.astype(jnp.float32)

@@ -1,0 +1,10 @@
+from occm_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
+from occm_tpu.parallel.sharding import param_shardings, shard_batch
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "param_shardings",
+    "shard_batch",
+]

@@ -1,0 +1,63 @@
+"""Parameter / batch sharding rules.
+
+Megatron-style tensor parallelism for the XLSR transformer, expressed purely
+as NamedShardings — GSPMD inserts the ICI collectives:
+
+- q/k/v and fc1 kernels split on the output-feature axis (column parallel),
+- out_proj and fc2 kernels split on the input-feature axis (row parallel),
+- everything else (conv stem, backends, norms) replicated.
+
+The XLSR stack is nn.scan-folded, so transformer kernels are [L, in, out]
+and the feature axes shift by one.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path-substring, partition spec for the *stacked* [L, ...] kernel)
+_TP_RULES = (
+    ("self_attn/q_proj/kernel", P(None, None, "tp")),
+    ("self_attn/k_proj/kernel", P(None, None, "tp")),
+    ("self_attn/v_proj/kernel", P(None, None, "tp")),
+    ("self_attn/q_proj/bias", P(None, "tp")),
+    ("self_attn/k_proj/bias", P(None, "tp")),
+    ("self_attn/v_proj/bias", P(None, "tp")),
+    ("self_attn/out_proj/kernel", P(None, "tp", None)),
+    ("fc1/kernel", P(None, None, "tp")),
+    ("fc1/bias", P(None, "tp")),
+    ("fc2/kernel", P(None, "tp", None)),
+)
+
+
+def _path_str(path) -> str:
+    return "/".join(
+        str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+    )
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding tree: TP rules on XLSR transformer weights, replicated
+    elsewhere. With tp=1 this degenerates to full replication (pure DP)."""
+    tp_active = mesh.shape.get("tp", 1) > 1
+
+    def assign(path, leaf):
+        if tp_active:
+            p = _path_str(path)
+            for substr, spec in _TP_RULES:
+                if substr in p and leaf.ndim == len(spec):
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host batch with its leading axis split over dp."""
+    sharding = NamedSharding(mesh, P("dp"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )

@@ -1,0 +1,166 @@
+"""pjit data-parallel one-class training loop.
+
+Semantics parity (reference: oc_training.py:344-401):
+- meta-batches of 12 (6 bona + 1 spoof + 5 vocoded),
+- loss = cw * compactness(emb[:6]) + dw * descriptiveness(logits, labels)
+  per meta-batch (reference: oc_training.py:380-382),
+- Adam, per-epoch checkpoints, loss.txt/wandb running averages.
+
+TPU-first differences:
+- G meta-batches are stacked [G*12, T] and shard over the dp mesh axis;
+  compactness is computed per group and averaged (G=1 reproduces the
+  reference exactly). Gradients all-reduce over ICI via GSPMD.
+- everything in one jitted step with donated state (no per-step host sync
+  except the scalar metrics fetch).
+- optional on-device fused RawBoost inside the step (the reference left its
+  RawBoost call commented out at oc_training.py:221,238 — default off, knob
+  preserved).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from occm_tpu.augment import batch_rawboost
+from occm_tpu.config import TrainConfig
+from occm_tpu.losses import compactness_loss, descriptiveness_loss
+from occm_tpu.parallel import make_mesh, param_shardings, replicated, shard_batch
+from occm_tpu.train.state import TrainState, create_train_state
+from occm_tpu.utils.logging import MetricsLogger
+
+
+def group_one_class_loss(emb, logits, labels, cw: float, dw: float,
+                         meta_batch: int = 12):
+    """Per-meta-batch compactness + global descriptiveness.
+
+    emb [G*12, D], logits [G*12, 2], labels [G*12]."""
+    g = emb.shape[0] // meta_batch
+    emb_g = emb.reshape(g, meta_batch, -1)
+    c_loss = jnp.mean(jax.vmap(compactness_loss)(emb_g))
+    d_loss = descriptiveness_loss(logits, labels)
+    return cw * c_loss + dw * d_loss, (c_loss, d_loss)
+
+
+def make_train_step(cfg: TrainConfig, apply_rawboost: bool = False,
+                    output_kind: str = "dual") -> Callable:
+    """Build the jitted train step.
+
+    output_kind: "dual" for models returning (emb, logits) (AASIST,
+    SE-ResNet dual head); "logits" for plain classifiers (no compactness).
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:
+        x, labels = batch
+        rb_rng, drop_rng = jax.random.split(rng)
+        if apply_rawboost and cfg.rawboost.algo != 0:
+            x = batch_rawboost(rb_rng, x, cfg.rawboost)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out, mutated = state.apply_fn(
+                variables, x, train=True,
+                rngs={"dropout": drop_rng},
+                mutable=["batch_stats"] if state.batch_stats else [],
+            )
+            if output_kind == "dual":
+                emb, logits = out
+                loss, (c_loss, d_loss) = group_one_class_loss(
+                    emb, logits, labels,
+                    cfg.compactness_weight, cfg.descriptiveness_weight,
+                    cfg.meta_batch,
+                )
+            else:
+                logits = out
+                d_loss = descriptiveness_loss(logits, labels)
+                c_loss = jnp.zeros(())
+                loss = cfg.descriptiveness_weight * d_loss
+            new_stats = mutated.get("batch_stats", state.batch_stats) \
+                if isinstance(mutated, dict) else state.batch_stats
+            return loss, (c_loss, d_loss, new_stats)
+
+        (loss, (c_loss, d_loss, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads, new_stats)
+        metrics = {"loss": loss, "closs": c_loss, "dloss": d_loss}
+        return new_state, metrics
+
+    return train_step
+
+
+def train(
+    model,
+    pipeline,
+    cfg: TrainConfig,
+    mesh=None,
+    logger: Optional[MetricsLogger] = None,
+    checkpoint_fn: Optional[Callable] = None,
+    output_kind: str = "dual",
+    num_epochs: Optional[int] = None,
+    sample_input=None,
+):
+    """Full training driver (reference: oc_training.py:344-401 semantics)."""
+    mesh = mesh or make_mesh(cfg.mesh)
+    logger = logger or MetricsLogger(loss_txt=cfg.loss_txt,
+                                     wandb_project=cfg.wandb_project)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    if sample_input is None:
+        sample_input = jnp.zeros(
+            (cfg.groups_per_step * cfg.meta_batch, cfg.cut), jnp.float32
+        )
+    tx = optax.adam(cfg.lr)
+    rng, init_rng = jax.random.split(rng)
+    state = create_train_state(model, init_rng, sample_input, tx)
+
+    # place params/opt state on the mesh (replicated or TP-sharded)
+    shardings = param_shardings(state.params, mesh)
+    state = state.replace(
+        params=jax.tree_util.tree_map(jax.device_put, state.params,
+                                      shardings),
+        batch_stats=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated(mesh)), state.batch_stats
+        ),
+        opt_state=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated(mesh))
+            if hasattr(x, "shape") else x,
+            state.opt_state,
+        ),
+    )
+
+    step_fn = make_train_step(cfg, output_kind=output_kind)
+
+    epochs = num_epochs if num_epochs is not None else cfg.num_epochs
+    with mesh:
+        for epoch in range(epochs):
+            running = {"loss": 0.0, "closs": 0.0, "dloss": 0.0}
+            for i, (x, labels) in enumerate(pipeline.epoch(epoch)):
+                batch = shard_batch(
+                    (x, labels.astype(jnp.int32)), mesh
+                )
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = step_fn(state, batch, step_rng)
+                for k in running:
+                    running[k] += float(metrics[k])
+                if i % cfg.log_every == cfg.log_every - 1:
+                    logger.log_running(
+                        epoch, i, running["loss"], running["closs"],
+                        running["dloss"],
+                    )
+                    logger.log_jsonl(
+                        epoch=epoch, step=i, **{
+                            k: running[k] / (i + 1) for k in running
+                        }
+                    )
+            if checkpoint_fn is not None:
+                checkpoint_fn(state, epoch)
+    return state
