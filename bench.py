@@ -1,0 +1,106 @@
+"""Benchmark: XLSR-300M + AASIST one-class fine-tune train step on TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric: 4-second utterances (64600 samples @16 kHz) per second per chip for
+the full forward+backward+Adam step of the flagship model (the reference's
+shipped config: XLSR wav2vec2-300M + AASIST, meta-batch 12, loss =
+descriptiveness; reference: oc_training.py:320-401).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md). The divisor
+17.0 utt/s is an estimate of the reference PyTorch stack's single-GPU
+fine-tuning throughput (SSL-AASIST lineage repos: ~25k train utterances at
+batch 14 in ~25 min/epoch on a 24 GB-class CUDA GPU). Recorded here so the
+ratio stays interpretable; update when a measured reference number exists.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_UTT_PER_SEC = 17.0
+
+
+def run(groups_per_step: int, steps: int = 8, warmup: int = 2):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from occm_tpu.config import (
+        AASISTConfig, MeshConfig, RawBoostConfig, TrainConfig, XLSRConfig,
+    )
+    from occm_tpu.models import AModel
+    from occm_tpu.train.loop import make_train_step
+    from occm_tpu.train.state import create_train_state
+
+    cut = 64600
+    meta = 12
+    batch = groups_per_step * meta
+    cfg = TrainConfig(
+        lr=1e-5,
+        cut=cut,
+        groups_per_step=groups_per_step,
+        compactness_weight=0.0,
+        descriptiveness_weight=1.0,
+        rawboost=RawBoostConfig(algo=0),
+        mesh=MeshConfig(dp=1, tp=1),
+    )
+    model = AModel(AASISTConfig(), xlsr_cfg=XLSRConfig())
+
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((batch, cut), jnp.float32)
+    state = create_train_state(model, rng, sample, optax.adam(cfg.lr))
+    step_fn = make_train_step(cfg, output_kind="dual")
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, cut)).astype(np.float32)
+        * 0.1
+    )
+    labels = jnp.asarray(
+        np.tile(np.array([0] * 6 + [1] * 6, np.int32), groups_per_step)
+    )
+
+    # warmup (includes compile)
+    for i in range(warmup):
+        state, metrics = step_fn(state, (x, labels), jax.random.fold_in(rng, i))
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step_fn(
+            state, (x, labels), jax.random.fold_in(rng, 100 + i)
+        )
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    utt_per_sec = batch * steps / dt
+    return utt_per_sec, float(metrics["loss"])
+
+
+def main():
+    groups = 2
+    if len(sys.argv) > 1:
+        groups = int(sys.argv[1])
+    try:
+        utt_per_sec, loss = run(groups)
+    except Exception:
+        # fall back to a single meta-batch if the big batch OOMs
+        utt_per_sec, loss = run(1)
+    print(
+        json.dumps(
+            {
+                "metric": "xlsr300m_aasist_train_step_throughput",
+                "value": round(utt_per_sec, 3),
+                "unit": "4s-utterances/sec/chip",
+                "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

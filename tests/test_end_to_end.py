@@ -1,0 +1,212 @@
+"""End-to-end integration: synthetic protocol+wav tree -> meta-batch
+training -> checkpoint -> one-class scoring -> EER (SURVEY.md §4e).
+
+Replaces the reference's hard-coded /datab paths with a tiny generated
+fixture tree and runs the tiny-XLSR AASIST through the whole pipeline on
+the 8-device CPU mesh.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from occm_tpu.config import (
+    AASISTConfig,
+    MeshConfig,
+    RawBoostConfig,
+    TrainConfig,
+    XLSRConfig,
+)
+from occm_tpu.data import ASVDataset, MetaBatchPipeline, PFDataset
+from occm_tpu.io.wav import write_wav
+
+SR = 16000
+CUT = 3200
+
+
+@pytest.fixture(scope="module")
+def fixture_tree(tmp_path_factory):
+    """8 bonafide + 4 spoof train utts, vocoded dir, eval set of 6."""
+    root = tmp_path_factory.mktemp("asvspoof")
+    train_dir = root / "train"
+    vocoded_dir = root / "vocoded"
+    eval_dir = root / "eval"
+    for d in (train_dir, vocoded_dir, eval_dir):
+        d.mkdir()
+
+    rng = np.random.default_rng(0)
+    lines = []
+    bona, spoof = [], []
+    for i in range(8):
+        utt = f"LA_T_b{i:04d}"
+        bona.append(utt)
+        # bonafide: soft tones
+        t = np.arange(2500 + 100 * i) / SR
+        wave = 0.3 * np.sin(2 * np.pi * (200 + 20 * i) * t)
+        write_wav(str(train_dir / f"{utt}.wav"), wave, SR)
+        lines.append(f"LA_{i:04d} {utt} - - bonafide")
+        for voc in ("hifigan", "hn-sinc-nsf-hifi", "hn-sinc-nsf", "melgan",
+                    "waveglow"):
+            vwave = wave + 0.05 * rng.normal(size=wave.shape)
+            write_wav(str(vocoded_dir / f"{voc}_{utt}.wav"), vwave, SR)
+    for i in range(4):
+        utt = f"LA_T_s{i:04d}"
+        spoof.append(utt)
+        wave = 0.3 * rng.normal(size=2800)  # spoof: noise
+        write_wav(str(train_dir / f"{utt}.wav"), wave, SR)
+        lines.append(f"LA_{100 + i:04d} {utt} - A0{i} spoof")
+    (root / "train.txt").write_text("\n".join(lines) + "\n")
+
+    # eval: 3 "bonafide"-like + 3 "spoof"-like
+    eval_lines, eval_proto_lines = [], []
+    for i in range(3):
+        utt = f"LA_E_b{i:04d}"
+        t = np.arange(2600) / SR
+        write_wav(str(eval_dir / f"{utt}.wav"),
+                  0.3 * np.sin(2 * np.pi * 260 * t), SR)
+        eval_proto_lines.append(utt)
+        eval_lines.append(f"LA_{i:04d} {utt} - - bonafide")
+    for i in range(3):
+        utt = f"LA_E_s{i:04d}"
+        write_wav(str(eval_dir / f"{utt}.wav"),
+                  0.3 * rng.normal(size=2600), SR)
+        eval_proto_lines.append(utt)
+        eval_lines.append(f"LA_{200 + i:04d} {utt} - A09 spoof")
+    (root / "eval_proto.txt").write_text("\n".join(eval_proto_lines) + "\n")
+    (root / "eval_labels.txt").write_text("\n".join(eval_lines) + "\n")
+    return root
+
+
+def test_pfdataset_meta_batch_shape(fixture_tree):
+    ds = PFDataset(
+        str(fixture_tree / "train.txt"), str(fixture_tree / "train"),
+        vocoded_dir=str(fixture_tree / "vocoded"), cut=CUT,
+    )
+    assert len(ds) == 8  # one meta-batch per bonafide
+    feats, labels = ds[0]
+    assert feats.shape == (12, CUT)
+    np.testing.assert_array_equal(labels, [0] * 6 + [1] * 6)
+
+
+def test_pfdataset_group_max_mode(fixture_tree):
+    ds = PFDataset(
+        str(fixture_tree / "train.txt"), str(fixture_tree / "train"),
+        vocoded_dir=str(fixture_tree / "vocoded"), pad_mode="group_max",
+    )
+    feats, labels = ds[1]
+    assert feats.shape[0] == 12
+    # group max = longest utterance in the meta-batch (reference layout)
+    assert feats.shape[1] >= 2500
+
+
+def test_train_classify_evaluate_pipeline(fixture_tree, tmp_path):
+    """Train 1 epoch of tiny AASIST on the dp mesh, checkpoint, score."""
+    from occm_tpu.classify import BucketedEmbedder, OneClassScorer
+    from occm_tpu.evaluate import calculate_eer_from_labels
+    from occm_tpu.io.scorefiles import read_comma_scores
+    from occm_tpu.models import AModel
+    from occm_tpu.parallel import make_mesh
+    from occm_tpu.train.checkpoint import (
+        latest_epoch,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from occm_tpu.train.loop import train
+
+    os.chdir(tmp_path)  # loss.txt etc. land here
+
+    cfg = TrainConfig(
+        lr=1e-4,
+        num_epochs=1,
+        compactness_weight=0.1,
+        descriptiveness_weight=0.9,
+        cut=CUT,
+        groups_per_step=2,
+        rawboost=RawBoostConfig(algo=0),
+        mesh=MeshConfig(dp=8, tp=1),
+        log_every=2,
+        loss_txt=str(tmp_path / "loss.txt"),
+    )
+    ds = PFDataset(
+        str(fixture_tree / "train.txt"), str(fixture_tree / "train"),
+        vocoded_dir=str(fixture_tree / "vocoded"), cut=CUT,
+    )
+    pipeline = MetaBatchPipeline(ds, groups_per_step=2, seed=0)
+    model = AModel(AASISTConfig(), xlsr_cfg=XLSRConfig.tiny())
+    mesh = make_mesh(cfg.mesh)
+
+    saved = {}
+
+    def ckpt_fn(state, epoch):
+        saved["path"] = save_checkpoint(
+            state, str(tmp_path), "aasist_vocoded", epoch
+        )
+        saved["state"] = state
+
+    state = train(
+        model, pipeline, cfg, mesh=mesh, checkpoint_fn=ckpt_fn,
+        output_kind="dual",
+    )
+    assert int(state.step) == 4  # 8 meta-batches / groups_per_step=2
+    assert os.path.exists(cfg.loss_txt)
+    line = open(cfg.loss_txt).readline()
+    assert line.startswith("epoch = 1, i = 2, loss = ")
+
+    # checkpoint roundtrip
+    assert latest_epoch(str(tmp_path), "aasist_vocoded") == 0
+    restored, epoch = restore_checkpoint(
+        state, str(tmp_path), "aasist_vocoded"
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
+
+    # ---- one-class scoring ----
+    params, stats = state.params, state.batch_stats
+
+    def embed_fn(x):
+        v = {"params": params}
+        if stats:
+            v["batch_stats"] = stats
+        return model.apply(v, x, train=False)
+
+    embedder = BucketedEmbedder(embed_fn, bucket_step=CUT, max_len=CUT * 2,
+                                batch_size=4)
+    scorer = OneClassScorer(embedder, cache_dir=str(tmp_path))
+
+    train_ds = ASVDataset(
+        str(fixture_tree / "train.txt"), str(fixture_tree / "train")
+    )
+    assert len(train_ds) == 8  # bonafide rows only
+    ref, thr = scorer.create_reference_embedding(train_ds)
+    assert ref.shape == (160,)
+    assert thr > 0
+    # artefact cache resume (reference: oc_classifier.py:169-174)
+    ref2, thr2 = scorer.create_reference_embedding(train_ds)
+    np.testing.assert_array_equal(ref, ref2)
+    assert thr == thr2
+    assert os.path.exists(tmp_path / "distances.txt")
+
+    eval_ds = ASVDataset(
+        str(fixture_tree / "eval_proto.txt"), str(fixture_tree / "eval"),
+        eval=True,
+    )
+    score_file = str(tmp_path / "scores.txt")
+    scorer.score_eval_set_1c(eval_ds, ref, thr, score_file=score_file)
+    scores = read_comma_scores(score_file)
+    assert len(scores) == 6
+
+    # evaluate both conventions run end to end
+    labels = ["bonafide"] * 3 + ["spoof"] * 3
+    eer, _ = calculate_eer_from_labels(scores, labels)
+    assert 0.0 <= eer <= 1.0
+
+    # 2c scoring writes bare logits
+    score_file2 = str(tmp_path / "scores2.txt")
+    scorer.score_eval_set_2c(eval_ds, score_file=score_file2)
+    assert len(read_comma_scores(score_file2)) == 6
