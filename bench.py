@@ -64,21 +64,23 @@ def run(groups_per_step: int, steps: int = 8, warmup: int = 2):
         np.tile(np.array([0] * 6 + [1] * 6, np.int32), groups_per_step)
     )
 
-    # warmup (includes compile)
+    # warmup (includes compile); float() forces a host read because the
+    # axon tunnel's block_until_ready does not await remote execution
     for i in range(warmup):
         state, metrics = step_fn(state, (x, labels), jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
 
     t0 = time.perf_counter()
+    loss = 0.0
     for i in range(steps):
         state, metrics = step_fn(
             state, (x, labels), jax.random.fold_in(rng, 100 + i)
         )
-    jax.block_until_ready(metrics["loss"])
+        loss = float(metrics["loss"])  # per-step host sync: honest timing
     dt = time.perf_counter() - t0
 
     utt_per_sec = batch * steps / dt
-    return utt_per_sec, float(metrics["loss"])
+    return utt_per_sec, loss
 
 
 def main():

@@ -1,0 +1,180 @@
+"""fairseq wav2vec2/XLSR checkpoint -> Flax parameter converter.
+
+The reference loads `xlsr2_300m.pt` through fairseq at runtime
+(reference: models/xlsr.py:29-30). Here conversion is a one-time offline
+step: torch state dict -> the XLSREncoder parameter pytree (scan-stacked
+transformer layers), after which training/inference never touch torch.
+
+Key mapping (fairseq wav2vec2 pretraining checkpoint, `state["model"]`):
+
+  feature_extractor.conv_layers.{i}.0.{weight,bias}   -> feature_extractor/conv_{i}
+  feature_extractor.conv_layers.{i}.2.1.{weight,bias} -> feature_extractor/ln_{i}   (layer_norm mode)
+  feature_extractor.conv_layers.0.2.{weight,bias}     -> feature_extractor/gn_0     (default mode)
+  layer_norm.{weight,bias}                            -> layer_norm
+  post_extract_proj.{weight,bias}                     -> post_extract_proj
+  encoder.pos_conv.0.{weight_g,weight_v,bias}         -> pos_conv (weight-norm folded)
+  encoder.layers.{l}.self_attn.{q,k,v,out}_proj       -> layers/layer/self_attn/... (stacked on axis 0)
+  encoder.layers.{l}.{fc1,fc2}                        -> layers/layer/{fc1,fc2}
+  encoder.layers.{l}.{self_attn,final}_layer_norm     -> layers/layer/...
+  encoder.layer_norm.{weight,bias}                    -> encoder_layer_norm
+
+Pretraining-only tensors (mask_emb, quantizer.*, project_q.*, final_proj.*)
+are ignored — the reference runs features_only=True with mask=False
+(reference: models/xlsr.py:46).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+from occm_tpu.config import XLSRConfig
+
+
+def _t(w) -> np.ndarray:
+    return np.asarray(w, dtype=np.float32)
+
+
+def fold_weight_norm(weight_g: np.ndarray, weight_v: np.ndarray,
+                     dim: int = 2) -> np.ndarray:
+    """w = g * v / ||v|| with the norm over all axes except `dim`
+    (torch.nn.utils.weight_norm semantics; fairseq pos_conv uses dim=2)."""
+    axes = tuple(i for i in range(weight_v.ndim) if i != dim)
+    norm = np.sqrt(np.sum(weight_v**2, axis=axes, keepdims=True))
+    return weight_g * weight_v / np.maximum(norm, 1e-12)
+
+
+def convert_fairseq_state_dict(sd: Mapping[str, "np.ndarray"],
+                               cfg: XLSRConfig) -> Dict:
+    """Convert a fairseq wav2vec2 model state dict (tensor values may be
+    torch tensors or numpy arrays) into the XLSREncoder params pytree."""
+    sd = {
+        k: _t(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        for k, v in sd.items()
+    }
+    # strip a possible wrapper prefix (fine-tuned ckpts use w2v_encoder.w2v_model.)
+    for prefix in ("w2v_encoder.w2v_model.", "w2v_model.", "model."):
+        if any(k.startswith(prefix) for k in sd):
+            sd = {
+                (k[len(prefix):] if k.startswith(prefix) else k): v
+                for k, v in sd.items()
+            }
+
+    p: Dict = {}
+
+    # ---- conv feature extractor ----
+    fe: Dict = {}
+    for i in range(len(cfg.conv_layers)):
+        conv_w = sd[f"feature_extractor.conv_layers.{i}.0.weight"]
+        layer = {"kernel": conv_w.transpose(2, 1, 0)}  # [out,in,k]->[k,in,out]
+        b = sd.get(f"feature_extractor.conv_layers.{i}.0.bias")
+        if b is not None:
+            layer["bias"] = b
+        fe[f"conv_{i}"] = layer
+        if cfg.extractor_mode == "layer_norm":
+            fe[f"ln_{i}"] = {
+                "scale": sd[f"feature_extractor.conv_layers.{i}.2.1.weight"],
+                "bias": sd[f"feature_extractor.conv_layers.{i}.2.1.bias"],
+            }
+        elif i == 0:
+            fe["gn_0"] = {
+                "scale": sd["feature_extractor.conv_layers.0.2.weight"],
+                "bias": sd["feature_extractor.conv_layers.0.2.bias"],
+            }
+    p["feature_extractor"] = fe
+
+    # ---- feature LN + projection ----
+    p["layer_norm"] = {
+        "scale": sd["layer_norm.weight"], "bias": sd["layer_norm.bias"]
+    }
+    if "post_extract_proj.weight" in sd:
+        p["post_extract_proj"] = {
+            "kernel": sd["post_extract_proj.weight"].T,
+            "bias": sd["post_extract_proj.bias"],
+        }
+
+    # ---- positional conv (weight norm folded) ----
+    w = fold_weight_norm(
+        sd["encoder.pos_conv.0.weight_g"], sd["encoder.pos_conv.0.weight_v"],
+        dim=2,
+    )  # [out, in/groups, k]
+    p["pos_conv"] = {
+        "kernel": w.transpose(2, 1, 0),  # -> [k, in/groups, out]
+        "bias": sd["encoder.pos_conv.0.bias"],
+    }
+
+    # ---- transformer layers, stacked for nn.scan ----
+    L = cfg.encoder_layers
+
+    def stack(fmt: str, transpose: bool = False) -> np.ndarray:
+        ws = [sd[fmt.format(l=l)] for l in range(L)]
+        if transpose:
+            ws = [w.T for w in ws]
+        return np.stack(ws, axis=0)
+
+    layer = {
+        "self_attn": {
+            name: {
+                "kernel": stack(
+                    f"encoder.layers.{{l}}.self_attn.{name}.weight",
+                    transpose=True,
+                ),
+                "bias": stack(f"encoder.layers.{{l}}.self_attn.{name}.bias"),
+            }
+            for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+        },
+        "self_attn_layer_norm": {
+            "scale": stack("encoder.layers.{l}.self_attn_layer_norm.weight"),
+            "bias": stack("encoder.layers.{l}.self_attn_layer_norm.bias"),
+        },
+        "fc1": {
+            "kernel": stack("encoder.layers.{l}.fc1.weight", transpose=True),
+            "bias": stack("encoder.layers.{l}.fc1.bias"),
+        },
+        "fc2": {
+            "kernel": stack("encoder.layers.{l}.fc2.weight", transpose=True),
+            "bias": stack("encoder.layers.{l}.fc2.bias"),
+        },
+        "final_layer_norm": {
+            "scale": stack("encoder.layers.{l}.final_layer_norm.weight"),
+            "bias": stack("encoder.layers.{l}.final_layer_norm.bias"),
+        },
+    }
+    p["layers"] = {"layer": layer}
+
+    p["encoder_layer_norm"] = {
+        "scale": sd["encoder.layer_norm.weight"],
+        "bias": sd["encoder.layer_norm.bias"],
+    }
+    return p
+
+
+def convert_checkpoint_file(pt_path: str, out_path: str,
+                            cfg: XLSRConfig = XLSRConfig()) -> None:
+    """CLI core: load a fairseq .pt with torch, convert, save with orbax."""
+    import torch
+
+    state = torch.load(pt_path, map_location="cpu", weights_only=False)
+    sd = state.get("model", state)
+    params = convert_fairseq_state_dict(sd, cfg)
+
+    from occm_tpu.train.checkpoint import save_params
+
+    save_params(params, out_path)
+
+
+def main(argv=None):  # pragma: no cover - thin CLI
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Convert fairseq xlsr2_300m.pt to occm_tpu params"
+    )
+    ap.add_argument("pt_path")
+    ap.add_argument("out_path")
+    args = ap.parse_args(argv)
+    convert_checkpoint_file(args.pt_path, args.out_path)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
