@@ -79,6 +79,7 @@ class XLSRConfig:
     out_dim: int = 1024          # SSLModel.out_dim (reference: models/xlsr.py:33)
     remat: bool = True           # jax.checkpoint each transformer block
     dtype: str = "bfloat16"      # compute dtype for the MXU path
+    attention_impl: str = "xla"  # "xla" einsum | "flash" pallas kernel
 
     @staticmethod
     def tiny() -> "XLSRConfig":

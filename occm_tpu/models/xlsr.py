@@ -84,15 +84,21 @@ class SelfAttention(nn.Module):
         k = nn.Dense(d, dtype=dt, name="k_proj")(x)
         v = nn.Dense(d, dtype=dt, name="v_proj")(x)
 
-        q = q.reshape(B, T, h, hd) * (hd ** -0.5)
+        q = q.reshape(B, T, h, hd)
         k = k.reshape(B, T, h, hd)
         v = v.reshape(B, T, h, hd)
 
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        )
-        probs = jax.nn.softmax(logits, axis=-1).astype(dt)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        if cfg.attention_impl == "flash":
+            from occm_tpu.ops.attention import flash_attention
+
+            out = flash_attention(q, k, v).astype(dt)
+        else:
+            q = q * (hd ** -0.5)
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            )
+            probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(B, T, d)
         return nn.Dense(d, dtype=dt, name="out_proj")(out)
 
