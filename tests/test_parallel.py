@@ -1,0 +1,89 @@
+"""Mesh / sharding tests on the 8-device virtual CPU platform
+(SURVEY.md §4d — substitutes for the missing multi-node test story)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from occm_tpu.config import MeshConfig, XLSRConfig
+from occm_tpu.models import XLSREncoder
+from occm_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_batch,
+)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(MeshConfig(dp=-1, tp=1))
+    assert mesh.shape == {"dp": 8, "tp": 1}
+    mesh = make_mesh(MeshConfig(dp=4, tp=2))
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(dp=3, tp=2))
+
+
+def test_batch_shards_over_dp():
+    mesh = make_mesh(MeshConfig(dp=8, tp=1))
+    x = np.zeros((16, 10), np.float32)
+    (xs,) = shard_batch((jnp.asarray(x),), mesh)
+    assert xs.sharding.spec == P("dp")
+    # each device holds 2 rows
+    assert xs.addressable_shards[0].data.shape == (2, 10)
+
+
+def test_param_shardings_tp_rules():
+    cfg = XLSRConfig.tiny()
+    model = XLSREncoder(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 3200), jnp.float32),
+    )["params"]
+
+    mesh = make_mesh(MeshConfig(dp=4, tp=2))
+    sh = param_shardings(params, mesh)
+
+    attn = sh["layers"]["layer"]["self_attn"]
+    assert attn["q_proj"]["kernel"].spec == P(None, None, "tp")
+    assert attn["out_proj"]["kernel"].spec == P(None, "tp", None)
+    assert sh["layers"]["layer"]["fc1"]["kernel"].spec == P(None, None, "tp")
+    assert sh["layers"]["layer"]["fc2"]["kernel"].spec == P(None, "tp", None)
+    # norms + conv stem replicated
+    assert sh["layers"]["layer"]["self_attn_layer_norm"]["scale"].spec == P()
+    assert sh["feature_extractor"]["conv_0"]["kernel"].spec == P()
+
+    # tp=1 mesh -> everything replicated
+    mesh1 = make_mesh(MeshConfig(dp=8, tp=1))
+    sh1 = param_shardings(params, mesh1)
+    assert sh1["layers"]["layer"]["fc1"]["kernel"].spec == P()
+
+
+def test_tp_sharded_forward_matches_replicated():
+    """The TP-sharded XLSR forward must be numerically identical to the
+    single-device run (GSPMD inserts the collectives)."""
+    cfg = XLSRConfig.tiny()
+    model = XLSREncoder(cfg)
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.normal(size=(4, 3200)).astype(np.float32) * 0.1)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        wave,
+    )["params"]
+
+    ref = np.asarray(model.apply({"params": params}, wave))
+
+    mesh = make_mesh(MeshConfig(dp=4, tp=2))
+    sh = param_shardings(params, mesh)
+    params_sharded = jax.tree_util.tree_map(jax.device_put, params, sh)
+    wave_sharded = jax.device_put(wave, batch_sharding(mesh))
+
+    with mesh:
+        out = jax.jit(
+            lambda p, x: model.apply({"params": p}, x)
+        )(params_sharded, wave_sharded)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
