@@ -1,5 +1,10 @@
 from occm_tpu.data.sampler import PFSampler, VOCODER_NAMES
-from occm_tpu.data.datasets import PFDataset, ASVDataset
+from occm_tpu.data.datasets import (
+    PFDataset,
+    ASVDataset,
+    ASVspoof2019TrainDataset,
+    ASVspoof2021EvalDataset,
+)
 from occm_tpu.data.pipeline import MetaBatchPipeline, Prefetcher
 
 __all__ = [
@@ -7,6 +12,8 @@ __all__ = [
     "VOCODER_NAMES",
     "PFDataset",
     "ASVDataset",
+    "ASVspoof2019TrainDataset",
+    "ASVspoof2021EvalDataset",
     "MetaBatchPipeline",
     "Prefetcher",
 ]

@@ -90,6 +90,67 @@ class PFDataset:
         return feats.astype(np.float32), np.asarray(labels, np.int64)
 
 
+class ASVspoof2019TrainDataset:
+    """Per-utterance LA train dataset (reference: data_utils_SSL.py:57-82).
+
+    Labels follow genSpoof_list's convention: **bonafide=1 / spoof=0**
+    (reference: data_utils_SSL.py:29 — the opposite of PFDataset).
+    RawBoost runs on-device in the training step (occm_tpu.augment), so this
+    dataset returns the clean repeat-padded waveform plus the configured
+    algo id for the step to apply (the reference augments per-utterance on
+    the host at data_utils_SSL.py:77).
+    """
+
+    def __init__(self, protocol_file: str, base_dir: str, algo: int = 0,
+                 cut: int = 64600, loader: AudioLoader = _default_loader):
+        from occm_tpu.io.protocols import gen_spoof_list
+
+        self.labels, self.list_IDs = gen_spoof_list(
+            protocol_file, is_train=True
+        )
+        self.base_dir = base_dir
+        self.algo = algo
+        self.cut = cut
+        self.loader = loader
+
+    def __len__(self) -> int:
+        return len(self.list_IDs)
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, int]:
+        utt_id = self.list_IDs[index]
+        wave, _ = self.loader(
+            _resolve(os.path.join(self.base_dir, "flac"), utt_id,
+                     exts=(".flac", ".wav"))
+        )
+        return pad_numpy(wave, self.cut).astype(np.float32), \
+            self.labels[utt_id]
+
+
+class ASVspoof2021EvalDataset:
+    """Bare-list eval dataset (reference: data_utils_SSL.py:85-104):
+    returns (repeat-padded waveform, utt_id)."""
+
+    def __init__(self, protocol_file: str, base_dir: str, cut: int = 64600,
+                 loader: AudioLoader = _default_loader):
+        from occm_tpu.io.protocols import gen_spoof_list
+
+        self.list_IDs = gen_spoof_list(protocol_file, is_eval=True)
+        self.base_dir = base_dir
+        self.cut = cut
+        self.loader = loader
+
+    def __len__(self) -> int:
+        return len(self.list_IDs)
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, str]:
+        utt_id = self.list_IDs[index]
+        wave, _ = self.loader(
+            _resolve(os.path.join(self.base_dir, "flac"), utt_id,
+                     exts=(".flac", ".wav"))
+        )
+        return pad_numpy(wave, self.cut).astype(np.float32), utt_id
+
+
 class ASVDataset:
     """Scoring dataset (reference: oc_classifier.py:27-110).
 

@@ -214,3 +214,25 @@ class XLSREncoder(nn.Module):
                 x.astype(jnp.float32)
             )
         return x.astype(jnp.float32)
+
+
+class SSLModel(nn.Module):
+    """API-compatible alias for the reference's SSLModel wrapper
+    (reference: models/xlsr.py:25-52): `extract_feat(wave) -> [B,F,out_dim]`.
+
+    Parameters live under the `model` scope, mirroring the reference's
+    `self.model` attribute holding the fairseq encoder.
+    """
+
+    cfg: XLSRConfig = XLSRConfig()
+
+    @property
+    def out_dim(self) -> int:
+        return self.cfg.out_dim
+
+    @nn.compact
+    def __call__(self, input_data, train: bool = False):
+        return XLSREncoder(self.cfg, name="model")(input_data, train=train)
+
+    def extract_feat(self, input_data, train: bool = False):
+        return self(input_data, train=train)
