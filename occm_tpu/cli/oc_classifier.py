@@ -57,7 +57,6 @@ def main(argv=None):
     from occm_tpu.config import AASISTConfig, XLSRConfig
     from occm_tpu.data import ASVDataset
     from occm_tpu.models import AModel, SSLResNet34
-    from occm_tpu.train.checkpoint import restore_params
 
     xlsr_cfg = XLSRConfig.tiny() if args.xlsr_tiny else XLSRConfig()
     separate = args.mode in ("1c1", "2c1")
@@ -76,14 +75,12 @@ def main(argv=None):
         sample,
     )
     try:
-        restored = restore_params(
-            {"params": variables["params"],
-             "batch_stats": variables.get("batch_stats", {}),
-             "opt_state": None, "step": None},
-            ckpt,
-        )
+        import orbax.checkpoint as ocp
+        import os
+
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt))
         params = restored["params"]
-        batch_stats = restored["batch_stats"]
+        batch_stats = restored.get("batch_stats", {})
         print("Pretrained weights loaded")
     except Exception as e:  # pragma: no cover - CLI convenience path
         print(f"WARNING: could not restore {ckpt} ({e}); using random init")

@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--wandb_project", type=str, default=None)
     parser.add_argument("--xlsr_tiny", action="store_true",
                         help="tiny XLSR config (CPU smoke runs)")
+    parser.add_argument(
+        "--pretrained_xlsr", type=str, default=None,
+        help="orbax params dir from occm-convert-xlsr (xlsr2_300m); grafted "
+             "into the SSL frontend before training",
+    )
     return parser
 
 
@@ -141,10 +146,28 @@ def main(argv=None):
         print("Saving the models...")
         save_checkpoint(state, cfg.checkpoint_dir, prefix, epoch)
 
+    param_graft = None
+    if args.pretrained_xlsr:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        frontend_scope = "ssl_model" if args.model == "aasist" else "frontend"
+        xlsr_params = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.pretrained_xlsr)
+        )
+
+        def param_graft(params):
+            params = dict(params)
+            params[frontend_scope] = xlsr_params
+            print(f"Grafted pretrained XLSR into '{frontend_scope}'")
+            return params
+
     print("Training starts...")
     train(
         model, pipeline, cfg,
         checkpoint_fn=checkpoint_fn, output_kind=output_kind,
+        param_graft=param_graft,
     )
 
 

@@ -107,8 +107,15 @@ def train(
     output_kind: str = "dual",
     num_epochs: Optional[int] = None,
     sample_input=None,
+    param_graft: Optional[Callable] = None,
 ):
-    """Full training driver (reference: oc_training.py:344-401 semantics)."""
+    """Full training driver (reference: oc_training.py:344-401 semantics).
+
+    param_graft(params) -> params runs once after init — e.g. to graft the
+    converted xlsr2_300m weights into the `ssl_model`/`frontend` scope (the
+    reference instead loads fairseq weights at model construction,
+    models/xlsr.py:29-30).
+    """
     mesh = mesh or make_mesh(cfg.mesh)
     logger = logger or MetricsLogger(loss_txt=cfg.loss_txt,
                                      wandb_project=cfg.wandb_project)
@@ -121,6 +128,11 @@ def train(
     tx = optax.adam(cfg.lr)
     rng, init_rng = jax.random.split(rng)
     state = create_train_state(model, init_rng, sample_input, tx)
+    if param_graft is not None:
+        new_params = param_graft(state.params)
+        state = state.replace(
+            params=new_params, opt_state=tx.init(new_params)
+        )
 
     # place params/opt state on the mesh (replicated or TP-sharded)
     shardings = param_shardings(state.params, mesh)
@@ -137,7 +149,9 @@ def train(
         ),
     )
 
-    step_fn = make_train_step(cfg, output_kind=output_kind)
+    step_fn = make_train_step(
+        cfg, apply_rawboost=cfg.rawboost.algo != 0, output_kind=output_kind
+    )
 
     epochs = num_epochs if num_epochs is not None else cfg.num_epochs
     with mesh:
