@@ -39,12 +39,18 @@ class TrainState(struct.PyTreeNode):
 
 def create_train_state(model, rng, sample_input, tx, train: bool = False
                        ) -> TrainState:
-    """Initialise model variables and optimizer state."""
+    """Initialise model variables and optimizer state.
+
+    The init is jitted: linen's eager init dispatches every tiny op
+    separately, which is pathologically slow over a remote-TPU tunnel; one
+    compiled program initialises in a single round trip.
+    """
     import jax.numpy as jnp
 
-    variables = model.init(
-        {"params": rng, "dropout": rng}, sample_input, train=train
+    init_fn = jax.jit(
+        lambda r, x: model.init({"params": r, "dropout": r}, x, train=train)
     )
+    variables = init_fn(rng, sample_input)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
