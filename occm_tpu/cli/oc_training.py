@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="orbax params dir from occm-convert-xlsr (xlsr2_300m); grafted "
              "into the SSL frontend before training",
     )
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest epoch checkpoint")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans (fail fast on NaNs)")
     return parser
 
 
@@ -98,8 +102,14 @@ def make_model(name: str, xlsr_cfg: XLSRConfig):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     cfg = TrainConfig(
         model=args.model,
+        checkpoint_prefix=f"{args.model}_vocoded",
         lr=args.lr,
         num_epochs=args.num_epochs,
         compactness_weight=args.compactness_weight,
@@ -140,7 +150,7 @@ def main(argv=None):
     xlsr_cfg = XLSRConfig.tiny() if args.xlsr_tiny else XLSRConfig()
     model, output_kind = make_model(args.model, xlsr_cfg)
 
-    prefix = f"{args.model}_vocoded"  # reference naming: aasist_vocoded_{e}
+    prefix = cfg.checkpoint_prefix  # reference naming: aasist_vocoded_{e}
 
     def checkpoint_fn(state, epoch):
         print("Saving the models...")
@@ -167,7 +177,7 @@ def main(argv=None):
     train(
         model, pipeline, cfg,
         checkpoint_fn=checkpoint_fn, output_kind=output_kind,
-        param_graft=param_graft,
+        param_graft=param_graft, resume=args.resume,
     )
 
 

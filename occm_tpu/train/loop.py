@@ -108,6 +108,7 @@ def train(
     num_epochs: Optional[int] = None,
     sample_input=None,
     param_graft: Optional[Callable] = None,
+    resume: bool = False,
 ):
     """Full training driver (reference: oc_training.py:344-401 semantics).
 
@@ -115,6 +116,10 @@ def train(
     converted xlsr2_300m weights into the `ssl_model`/`frontend` scope (the
     reference instead loads fairseq weights at model construction,
     models/xlsr.py:29-30).
+
+    resume=True restores the latest `{cfg.checkpoint_prefix}_{epoch}` orbax
+    checkpoint from cfg.checkpoint_dir and continues at the next epoch —
+    the resume logic the reference lacks (SURVEY.md §5.4).
     """
     mesh = mesh or make_mesh(cfg.mesh)
     logger = logger or MetricsLogger(loss_txt=cfg.loss_txt,
@@ -134,9 +139,22 @@ def train(
             params=new_params, opt_state=tx.init(new_params)
         )
 
+    start_epoch = 0
+    if resume:
+        from occm_tpu.train.checkpoint import latest_epoch, restore_checkpoint
+
+        last = latest_epoch(cfg.checkpoint_dir, cfg.checkpoint_prefix)
+        if last is not None:
+            state, last = restore_checkpoint(
+                state, cfg.checkpoint_dir, cfg.checkpoint_prefix, last
+            )
+            start_epoch = last + 1
+            logger.log_jsonl(event="resume", epoch=start_epoch)
+
     # place params/opt state on the mesh (replicated or TP-sharded)
     shardings = param_shardings(state.params, mesh)
     state = state.replace(
+        step=jax.device_put(state.step, replicated(mesh)),
         params=jax.tree_util.tree_map(jax.device_put, state.params,
                                       shardings),
         batch_stats=jax.tree_util.tree_map(
@@ -155,7 +173,7 @@ def train(
 
     epochs = num_epochs if num_epochs is not None else cfg.num_epochs
     with mesh:
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             running = {"loss": 0.0, "closs": 0.0, "dloss": 0.0}
             for i, (x, labels) in enumerate(pipeline.epoch(epoch)):
                 batch = shard_batch(

@@ -130,6 +130,8 @@ def test_train_classify_evaluate_pipeline(fixture_tree, tmp_path):
         mesh=MeshConfig(dp=8, tp=1),
         log_every=2,
         loss_txt=str(tmp_path / "loss.txt"),
+        checkpoint_dir=str(tmp_path),
+        checkpoint_prefix="aasist_vocoded",
     )
     ds = PFDataset(
         str(fixture_tree / "train.txt"), str(fixture_tree / "train"),
@@ -165,6 +167,17 @@ def test_train_classify_evaluate_pipeline(fixture_tree, tmp_path):
         np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
     )
+
+    # resume-from-latest: epoch 0 restored, only epoch 1 trains (4 steps)
+    import dataclasses as _dc
+
+    cfg2 = _dc.replace(cfg, num_epochs=2)
+    state2 = train(
+        model, pipeline, cfg2, mesh=mesh, checkpoint_fn=ckpt_fn,
+        output_kind="dual", resume=True,
+    )
+    assert int(state2.step) == 8
+    assert latest_epoch(str(tmp_path), "aasist_vocoded") == 1
 
     # ---- one-class scoring ----
     params, stats = state.params, state.batch_stats
