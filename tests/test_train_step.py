@@ -1,0 +1,92 @@
+"""Train-step unit tests: loss weights, on-device RawBoost, group loss."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from occm_tpu.config import (
+    AASISTConfig,
+    RawBoostConfig,
+    TrainConfig,
+    XLSRConfig,
+)
+from occm_tpu.losses import compactness_loss, descriptiveness_loss
+from occm_tpu.models import AModel
+from occm_tpu.train.loop import group_one_class_loss, make_train_step
+from occm_tpu.train.state import create_train_state
+
+CUT = 3200
+
+
+def _setup(cfg):
+    model = AModel(AASISTConfig(), xlsr_cfg=XLSRConfig.tiny())
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(
+        model, rng, jnp.zeros((12, CUT), jnp.float32), optax.adam(1e-4)
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(12, CUT)).astype(np.float32)
+        * 0.1
+    )
+    labels = jnp.asarray(np.array([0] * 6 + [1] * 6, np.int32))
+    return model, state, x, labels
+
+
+def test_group_one_class_loss_matches_single_group():
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(12, 160)).astype(np.float32))
+    logits = jnp.asarray(rng.normal(size=(12, 2)).astype(np.float32))
+    labels = jnp.asarray(np.array([0] * 6 + [1] * 6, np.int32))
+    loss, (c, d) = group_one_class_loss(emb, logits, labels, 0.1, 0.9)
+    assert float(c) == pytest.approx(float(compactness_loss(emb)), rel=1e-6)
+    assert float(d) == pytest.approx(
+        float(descriptiveness_loss(logits, labels)), rel=1e-6
+    )
+    assert float(loss) == pytest.approx(0.1 * float(c) + 0.9 * float(d),
+                                        rel=1e-6)
+
+    # two identical groups -> identical per-group means
+    emb2 = jnp.concatenate([emb, emb])
+    logits2 = jnp.concatenate([logits, logits])
+    labels2 = jnp.concatenate([labels, labels])
+    loss2, (c2, d2) = group_one_class_loss(emb2, logits2, labels2, 0.1, 0.9)
+    assert float(loss2) == pytest.approx(float(loss), rel=1e-6)
+
+
+def test_train_step_descriptiveness_only_ignores_compactness_grad():
+    # shipped config: 0.0*compactness (reference: oc_training.py:380) — the
+    # step must still run and report closs without it entering the gradient
+    cfg = TrainConfig(
+        compactness_weight=0.0, descriptiveness_weight=1.0, cut=CUT,
+        rawboost=RawBoostConfig(algo=0),
+    )
+    model, state, x, labels = _setup(cfg)
+    step = make_train_step(cfg, output_kind="dual")
+    new_state, metrics = step(state, (x, labels), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["closs"]) > 0  # reported
+    assert int(new_state.step) == 1
+
+
+def test_train_step_with_on_device_rawboost():
+    cfg = TrainConfig(
+        compactness_weight=0.1, descriptiveness_weight=0.9, cut=CUT,
+        rawboost=RawBoostConfig(algo=2),  # ISD: cheap to compile
+    )
+    model, state, x, labels = _setup(cfg)
+    step_rb = make_train_step(cfg, apply_rawboost=True, output_kind="dual")
+    step_plain = make_train_step(cfg, apply_rawboost=False,
+                                 output_kind="dual")
+
+    s1, m1 = step_rb(state, (x, labels), jax.random.PRNGKey(1))
+    state2 = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((12, CUT), jnp.float32),
+        optax.adam(1e-4),
+    )
+    s2, m2 = step_plain(state2, (x, labels), jax.random.PRNGKey(1))
+    # augmentation changes the loss for identical init/batch/rng
+    assert float(m1["loss"]) != pytest.approx(float(m2["loss"]), rel=1e-6)
+    assert np.isfinite(float(m1["loss"]))
