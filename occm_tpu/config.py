@@ -80,6 +80,9 @@ class XLSRConfig:
     remat: bool = True           # jax.checkpoint each transformer block
     dtype: str = "bfloat16"      # compute dtype for the MXU path
     attention_impl: str = "xla"  # "xla" einsum | "flash" pallas kernel
+    # fairseq wav2vec2 fine-tuning knob: scales (0 stops) the gradient
+    # flowing into the conv feature extractor
+    feature_grad_mult: float = 1.0
 
     @staticmethod
     def tiny() -> "XLSRConfig":

@@ -26,6 +26,7 @@ The PyTorch->JAX checkpoint converter for fairseq weights lives in
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import flax.linen as nn
@@ -37,6 +38,23 @@ from occm_tpu.config import XLSRConfig
 
 def _dtype(cfg: XLSRConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def grad_multiply(x, mult: float):
+    """fairseq GradMultiply: identity forward, gradient scaled by `mult`."""
+    return x
+
+
+def _gm_fwd(x, mult):
+    return x, None
+
+
+def _gm_bwd(mult, _, g):
+    return (g * mult,)
+
+
+grad_multiply.defvjp(_gm_fwd, _gm_bwd)
 
 
 class ConvFeatureExtractor(nn.Module):
@@ -157,6 +175,12 @@ class XLSREncoder(nn.Module):
         feats = ConvFeatureExtractor(cfg, name="feature_extractor")(
             x, train=train
         )
+        # fairseq GradMultiply: scale (or stop) the gradient into the conv
+        # stack; 0 skips the conv backward entirely
+        if cfg.feature_grad_mult == 0.0:
+            feats = jax.lax.stop_gradient(feats)
+        elif cfg.feature_grad_mult != 1.0:
+            feats = grad_multiply(feats, cfg.feature_grad_mult)
         conv_dim = cfg.conv_layers[-1][0]
 
         feats = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(

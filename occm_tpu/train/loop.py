@@ -174,6 +174,9 @@ def train(
     epochs = num_epochs if num_epochs is not None else cfg.num_epochs
     with mesh:
         for epoch in range(start_epoch, epochs):
+            # metrics stay device-side between log points — no per-step host
+            # sync (a host round trip per step throttles remote TPUs)
+            pending = []
             running = {"loss": 0.0, "closs": 0.0, "dloss": 0.0}
             for i, (x, labels) in enumerate(pipeline.epoch(epoch)):
                 batch = shard_batch(
@@ -181,9 +184,12 @@ def train(
                 )
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = step_fn(state, batch, step_rng)
-                for k in running:
-                    running[k] += float(metrics[k])
+                pending.append(metrics)
                 if i % cfg.log_every == cfg.log_every - 1:
+                    for m in pending:
+                        for k in running:
+                            running[k] += float(m[k])
+                    pending = []
                     logger.log_running(
                         epoch, i, running["loss"], running["closs"],
                         running["dloss"],
@@ -193,6 +199,9 @@ def train(
                             k: running[k] / (i + 1) for k in running
                         }
                     )
+            for m in pending:
+                for k in running:
+                    running[k] += float(m[k])
             if checkpoint_fn is not None:
                 checkpoint_fn(state, epoch)
     return state

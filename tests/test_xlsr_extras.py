@@ -1,0 +1,50 @@
+"""XLSR fine-tuning knobs: feature_grad_mult (fairseq GradMultiply)."""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from occm_tpu.config import XLSRConfig
+from occm_tpu.models import XLSREncoder
+
+
+def _grads(cfg, wave):
+    model = XLSREncoder(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        wave,
+    )["params"]
+
+    def loss(p):
+        return jnp.sum(model.apply({"params": p}, wave) ** 2)
+
+    return params, jax.grad(loss)(params)
+
+
+def test_feature_grad_mult_zero_freezes_conv_stack():
+    wave = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 3200)).astype(np.float32)
+    )
+    cfg = dataclasses.replace(XLSRConfig.tiny(), feature_grad_mult=0.0)
+    _, grads = _grads(cfg, wave)
+    conv_g = jax.tree_util.tree_leaves(grads["feature_extractor"])
+    assert all(float(jnp.max(jnp.abs(g))) == 0.0 for g in conv_g)
+    # transformer still gets gradient
+    tr_g = jax.tree_util.tree_leaves(grads["layers"])
+    assert any(float(jnp.max(jnp.abs(g))) > 0 for g in tr_g)
+
+
+def test_feature_grad_mult_scales_conv_grads():
+    wave = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, 3200)).astype(np.float32)
+    )
+    cfg1 = XLSRConfig.tiny()
+    cfg01 = dataclasses.replace(cfg1, feature_grad_mult=0.1)
+    _, g_full = _grads(cfg1, wave)
+    _, g_scaled = _grads(cfg01, wave)
+    a = np.asarray(g_full["feature_extractor"]["conv_0"]["kernel"])
+    b = np.asarray(g_scaled["feature_extractor"]["conv_0"]["kernel"])
+    np.testing.assert_allclose(b, 0.1 * a, rtol=1e-3, atol=1e-6)
