@@ -84,7 +84,9 @@ def run(groups_per_step: int, steps: int = 8, warmup: int = 2):
 
 
 def main():
-    groups = 2
+    # G=8 (batch 96) measured best on v5e: amortises the ~33 ms fixed
+    # per-step cost; marginal cost ~6.3 ms/utt (see PROGRESS notes)
+    groups = 8
     if len(sys.argv) > 1:
         groups = int(sys.argv[1])
     try:

@@ -83,6 +83,9 @@ class XLSRConfig:
     # fairseq wav2vec2 fine-tuning knob: scales (0 stops) the gradient
     # flowing into the conv feature extractor
     feature_grad_mult: float = 1.0
+    # layer-norm / softmax compute dtype: float32 (safe default) or
+    # bfloat16 (saves HBM round trips on the big activations)
+    norm_dtype: str = "float32"
 
     @staticmethod
     def tiny() -> "XLSRConfig":

@@ -40,6 +40,10 @@ def _dtype(cfg: XLSRConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
+def _norm_dtype(cfg: XLSRConfig):
+    return jnp.bfloat16 if cfg.norm_dtype == "bfloat16" else jnp.float32
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def grad_multiply(x, mult: float):
     """fairseq GradMultiply: identity forward, gradient scaled by `mult`."""
@@ -73,8 +77,9 @@ class ConvFeatureExtractor(nn.Module):
                 dtype=dt, name=f"conv_{i}",
             )(h)
             if self.cfg.extractor_mode == "layer_norm":
-                h = nn.LayerNorm(dtype=jnp.float32, name=f"ln_{i}")(
-                    h.astype(jnp.float32)
+                ndt = _norm_dtype(self.cfg)
+                h = nn.LayerNorm(dtype=ndt, name=f"ln_{i}")(
+                    h.astype(ndt)
                 ).astype(dt)
             elif i == 0:
                 h = nn.GroupNorm(
@@ -113,7 +118,8 @@ class SelfAttention(nn.Module):
         else:
             q = q * (hd ** -0.5)
             logits = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+                "bqhd,bkhd->bhqk", q, k,
+                preferred_element_type=_norm_dtype(cfg),
             )
             probs = jax.nn.softmax(logits, axis=-1).astype(dt)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
@@ -134,7 +140,7 @@ class TransformerLayer(nn.Module):
         train = self.train
         dt = _dtype(cfg)
         drop = lambda: nn.Dropout(cfg.dropout, deterministic=not train)
-        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
+        ln = lambda name: nn.LayerNorm(dtype=_norm_dtype(cfg), name=name)
 
         residual = x
         h = ln("self_attn_layer_norm")(x) if cfg.layer_norm_first else x
