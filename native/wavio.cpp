@@ -28,6 +28,11 @@
 #include <pthread.h>
 #include <vector>
 
+namespace flacdec {
+int decode(const uint8_t* data, size_t len, std::vector<float>* out,
+           int* sample_rate);
+}
+
 namespace {
 
 struct Wav {
@@ -161,6 +166,10 @@ int load_wav(const char* path, Wav* w) {
   std::vector<uint8_t> buf;
   int rc = read_file(path, &buf);
   if (rc) return 10 + rc;
+  // dispatch by magic: RIFF/WAVE or fLaC
+  if (buf.size() >= 4 && memcmp(buf.data(), "fLaC", 4) == 0)
+    return flacdec::decode(buf.data(), buf.size(), &w->samples,
+                           &w->sample_rate);
   return decode_wav(buf.data(), buf.size(), w);
 }
 

@@ -94,18 +94,26 @@ def resample(x: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
 
 
 def load_audio(path: str, sr: Optional[int] = None) -> Tuple[np.ndarray, int]:
-    """librosa.load-style entry: decode + optional resample to `sr`.
+    """librosa.load-style entry: decode (WAV or FLAC, by magic bytes) +
+    optional resample to `sr`.
 
     sr=None keeps the native rate (reference: oc_training.py:219 uses
     sr=None; data_utils_SSL.py:76 uses sr=16000).
     """
-    # prefer the native C++ decoder when built
+    # prefer the native C++ decoder when built (handles WAV and FLAC)
     try:
         from occm_tpu.io.native import native_read_wav
 
         wave, native_sr = native_read_wav(path)
     except Exception:
-        wave, native_sr = read_wav(path)
+        with open(path, "rb") as f:
+            magic = f.read(4)
+        if magic == b"fLaC":
+            from occm_tpu.io.flac import read_flac
+
+            wave, native_sr = read_flac(path)
+        else:
+            wave, native_sr = read_wav(path)
     if sr is not None and native_sr != sr:
         return resample(wave, native_sr, sr), sr
     return wave, native_sr
