@@ -69,23 +69,38 @@ def main(argv=None):
         ckpt = args.pretrained_sslaasist
 
     # init to build the template, then restore
-    sample = jnp.zeros((1, 64600), jnp.float32)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
-        sample,
-    )
-    try:
-        import orbax.checkpoint as ocp
-        import os
+    import os
 
-        restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt))
-        params = restored["params"]
-        batch_stats = restored.get("batch_stats", {})
-        print("Pretrained weights loaded")
+    import orbax.checkpoint as ocp
+
+    sample = jnp.zeros((1, 64600), jnp.float32)
+    init_fn = jax.jit(
+        lambda r, x: model.init({"params": r, "dropout": r}, x)
+    )
+    variables = init_fn(jax.random.PRNGKey(0), sample)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    def _restore(path):
+        return ocp.StandardCheckpointer().restore(os.path.abspath(path))
+
+    try:
+        if separate and args.pretrained_ssl and args.pretrained_senet:
+            # reference loads the two modules separately
+            # (oc_classifier.py:340-342): XLSR params -> `frontend`,
+            # SE-ResNet params -> `resnet34`
+            params = dict(params)
+            params["frontend"] = _restore(args.pretrained_ssl)
+            params["resnet34"] = _restore(args.pretrained_senet)
+            print("Pretrained weights loaded")
+        else:
+            restored = _restore(ckpt)
+            params = restored["params"]
+            batch_stats = restored.get("batch_stats", {})
+            print("Pretrained weights loaded")
     except Exception as e:  # pragma: no cover - CLI convenience path
-        print(f"WARNING: could not restore {ckpt} ({e}); using random init")
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
+        print(f"WARNING: could not restore pretrained weights ({e}); "
+              "using random init")
 
     def embed_fn(x):
         v = {"params": params}

@@ -86,6 +86,8 @@ class XLSRConfig:
     # layer-norm / softmax compute dtype: float32 (safe default) or
     # bfloat16 (saves HBM round trips on the big activations)
     norm_dtype: str = "float32"
+    # nn.scan unroll factor over transformer layers (1 = pure while loop)
+    scan_unroll: int = 1
 
     @staticmethod
     def tiny() -> "XLSRConfig":

@@ -236,6 +236,7 @@ class XLSREncoder(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=cfg.encoder_layers,
+            unroll=cfg.scan_unroll,
         )(cfg, train, name="layers")
         x, _ = stack(x, None)
 
