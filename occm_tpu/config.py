@@ -88,6 +88,9 @@ class XLSRConfig:
     norm_dtype: str = "float32"
     # nn.scan unroll factor over transformer layers (1 = pure while loop)
     scan_unroll: int = 1
+    # remat policy: "nothing" (full recompute, min memory) or "dots"
+    # (save matmul outputs — faster backward, more HBM)
+    remat_policy: str = "nothing"
 
     @staticmethod
     def tiny() -> "XLSRConfig":

@@ -220,7 +220,11 @@ class XLSREncoder(nn.Module):
         # one compiled block, recompute activations on the backward pass
         block_cls = TransformerLayer
         if cfg.remat:
-            block_cls = nn.remat(block_cls, prevent_cse=False)
+            policy = (
+                jax.checkpoint_policies.dots_saveable
+                if cfg.remat_policy == "dots" else None
+            )
+            block_cls = nn.remat(block_cls, prevent_cse=False, policy=policy)
 
         class ScannedStack(nn.Module):
             cfg: XLSRConfig
