@@ -91,6 +91,8 @@ class XLSRConfig:
     # remat policy: "nothing" (full recompute, min memory) or "dots"
     # (save matmul outputs — faster backward, more HBM)
     remat_policy: str = "nothing"
+    # tanh-approximate GELU (cheaper transcendentals; fairseq uses exact erf)
+    gelu_approximate: bool = False
 
     @staticmethod
     def tiny() -> "XLSRConfig":

@@ -153,7 +153,7 @@ class TransformerLayer(nn.Module):
         residual = x
         h = ln("final_layer_norm")(x) if cfg.layer_norm_first else x
         h = nn.Dense(cfg.encoder_ffn_dim, dtype=dt, name="fc1")(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = jax.nn.gelu(h, approximate=cfg.gelu_approximate)
         h = nn.Dense(cfg.encoder_embed_dim, dtype=dt, name="fc2")(h)
         h = drop()(h)
         x = residual + h

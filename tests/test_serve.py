@@ -1,0 +1,63 @@
+"""Serving layer tests: AOT compile, StableHLO export, scoring service."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from occm_tpu.config import AASISTConfig, XLSRConfig
+from occm_tpu.models import AModel
+from occm_tpu.serve import (
+    ScoringService,
+    aot_compile,
+    export_stablehlo,
+    make_score_fn,
+)
+
+CUT = 3200
+
+
+def _model_and_fn():
+    model = AModel(AASISTConfig(), xlsr_cfg=XLSRConfig.tiny())
+    init_fn = jax.jit(
+        lambda r, x: model.init({"params": r, "dropout": r}, x)
+    )
+    variables = init_fn(jax.random.PRNGKey(0), jnp.zeros((2, CUT)))
+    return make_score_fn(
+        model, variables["params"], variables.get("batch_stats", {})
+    )
+
+
+def test_aot_compile_and_run():
+    fn = _model_and_fn()
+    exe = aot_compile(fn, batch=2, length=CUT)
+    emb, logits = exe(jnp.zeros((2, CUT), jnp.float32))
+    assert emb.shape == (2, 160)
+    assert logits.shape == (2, 2)
+
+
+def test_export_stablehlo(tmp_path):
+    fn = _model_and_fn()
+    p = tmp_path / "model.stablehlo"
+    text = export_stablehlo(fn, batch=1, length=CUT, path=str(p))
+    assert "module" in text
+    assert p.exists() and p.stat().st_size > 1000
+
+
+def test_scoring_service_end_to_end():
+    fn = _model_and_fn()
+    rng = np.random.default_rng(0)
+    ref = rng.normal(size=160).astype(np.float32)
+    svc = ScoringService(fn, ref, threshold=5.0, buckets=(CUT,), batch=2)
+    waves = [
+        rng.normal(size=2000).astype(np.float32) * 0.1,
+        rng.normal(size=3200).astype(np.float32) * 0.1,
+        rng.normal(size=1000).astype(np.float32) * 0.1,
+    ]
+    scores, preds = svc.score(waves)
+    assert scores.shape == (3,)
+    assert set(preds) <= {0, 1}
+    assert np.all(np.isfinite(scores))
+    # deterministic
+    scores2, _ = svc.score(waves)
+    np.testing.assert_array_equal(scores, scores2)
