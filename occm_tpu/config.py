@@ -93,6 +93,9 @@ class XLSRConfig:
     remat_policy: str = "nothing"
     # tanh-approximate GELU (cheaper transcendentals; fairseq uses exact erf)
     gelu_approximate: bool = False
+    # fairseq encoder_layerdrop: probability of skipping a transformer
+    # layer per step during training
+    layerdrop: float = 0.0
 
     @staticmethod
     def tiny() -> "XLSRConfig":

@@ -233,6 +233,13 @@ class XLSREncoder(nn.Module):
             @nn.compact
             def __call__(self, carry, _):
                 y = block_cls(self.cfg, self.train, name="layer")(carry)
+                if self.train and self.cfg.layerdrop > 0.0:
+                    # fairseq encoder_layerdrop: skip the whole layer with
+                    # probability p (scan gives each step its own rng)
+                    keep = jax.random.bernoulli(
+                        self.make_rng("dropout"), 1.0 - self.cfg.layerdrop
+                    )
+                    y = jnp.where(keep, y, carry)
                 return y, None
 
         stack = nn.scan(

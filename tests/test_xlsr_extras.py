@@ -48,3 +48,30 @@ def test_feature_grad_mult_scales_conv_grads():
     a = np.asarray(g_full["feature_extractor"]["conv_0"]["kernel"])
     b = np.asarray(g_scaled["feature_extractor"]["conv_0"]["kernel"])
     np.testing.assert_allclose(b, 0.1 * a, rtol=1e-3, atol=1e-6)
+
+
+def test_layerdrop_zero_matches_and_training_path_runs():
+    import dataclasses
+
+    from occm_tpu.config import XLSRConfig
+    from occm_tpu.models import XLSREncoder
+
+    wave = jnp.asarray(
+        np.random.default_rng(2).normal(size=(1, 3200)).astype(np.float32)
+    )
+    cfg = dataclasses.replace(XLSRConfig.tiny(), layerdrop=0.5)
+    model = XLSREncoder(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        wave,
+    )
+    # eval: layerdrop inactive -> deterministic
+    a = model.apply(variables, wave)
+    b = model.apply(variables, wave)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # train: runs with per-layer rng; different keys give different outputs
+    t1 = model.apply(variables, wave, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    t2 = model.apply(variables, wave, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
