@@ -37,7 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--model", type=str, default="aasist",
                         choices=["aasist", "ssl_resnet34", "ssl_lcnn",
-                                 "occm", "cnn"])
+                                 "ssl_lcnn_asoftmax", "occm", "cnn"])
     parser.add_argument("--finetuned", action="store_true", default=False)
     parser.add_argument(
         "--train_protocol_file", type=str,
@@ -90,6 +90,9 @@ def make_model(name: str, xlsr_cfg: XLSRConfig):
         return SSLResNet34(xlsr_cfg=xlsr_cfg), "dual"
     if name == "ssl_lcnn":
         return SSLLCNN(xlsr_cfg=xlsr_cfg), "logits"
+    if name == "ssl_lcnn_asoftmax":
+        # reference: oc_training.py:334-335 (AngleLoss criterion)
+        return SSLLCNN(xlsr_cfg=xlsr_cfg, asoftmax=True), "angle"
     if name == "cnn":
         return TotalCNNNet(xlsr_cfg=xlsr_cfg), "logits"
     if name == "occm":

@@ -45,16 +45,19 @@ class SSLResNet34(nn.Module):
 
 
 class SSLLCNN(nn.Module):
-    """reference: models/lcnn.py:244-267 (asoftmax=False)."""
+    """reference: models/lcnn.py:244-267 (asoftmax=False by default;
+    asoftmax=True gives the AngleLinear head used with AngleLoss,
+    reference: oc_training.py:334-335)."""
 
     xlsr_cfg: Optional[XLSRConfig] = None
+    asoftmax: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, eval_mode: bool = False):
         cfg = self.xlsr_cfg or XLSRConfig()
         feats = XLSREncoder(cfg, name="frontend")(x, train=train)
-        return LCNN(asoftmax=False, name="lcnn")(
-            _features_nhwc(feats), train=train
+        return LCNN(asoftmax=self.asoftmax, name="lcnn")(
+            _features_nhwc(feats), train=train, eval_mode=eval_mode
         )
 
 

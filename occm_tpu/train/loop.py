@@ -78,6 +78,18 @@ def make_train_step(cfg: TrainConfig, apply_rawboost: bool = False,
                     cfg.compactness_weight, cfg.descriptiveness_weight,
                     cfg.meta_batch,
                 )
+            elif output_kind == "angle":
+                # A-softmax head: (cos_theta, psi_theta) + AngleLoss with
+                # the step counter as the annealing iteration
+                # (reference: models/lcnn.py:86-118, oc_training.py:334-335)
+                from occm_tpu.losses import AngleLossState, angle_loss
+
+                d_loss, _ = angle_loss(
+                    out, labels,
+                    AngleLossState(it=state.step.astype(jnp.int32)),
+                )
+                c_loss = jnp.zeros(())
+                loss = cfg.descriptiveness_weight * d_loss
             else:
                 logits = out
                 d_loss = descriptiveness_loss(logits, labels)

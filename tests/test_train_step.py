@@ -90,3 +90,25 @@ def test_train_step_with_on_device_rawboost():
     # augmentation changes the loss for identical init/batch/rng
     assert float(m1["loss"]) != pytest.approx(float(m2["loss"]), rel=1e-6)
     assert np.isfinite(float(m1["loss"]))
+
+
+def test_train_step_angle_head():
+    from occm_tpu.models.combined import SSLLCNN
+
+    cfg = TrainConfig(
+        descriptiveness_weight=1.0, cut=CUT, rawboost=RawBoostConfig(algo=0),
+    )
+    model = SSLLCNN(xlsr_cfg=XLSRConfig.tiny(), asoftmax=True)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(
+        model, rng, jnp.zeros((12, CUT), jnp.float32), optax.adam(1e-4)
+    )
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(12, CUT)).astype(np.float32)
+        * 0.1
+    )
+    labels = jnp.asarray(np.array([0] * 6 + [1] * 6, np.int32))
+    step = make_train_step(cfg, output_kind="angle")
+    new_state, metrics = step(state, (x, labels), jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
