@@ -24,7 +24,8 @@ import time
 BASELINE_UTT_PER_SEC = 17.0
 
 
-def run(groups_per_step: int, steps: int = 8, warmup: int = 2):
+def run(groups_per_step: int, k_dispatch: int = 4, chunks: int = 3,
+        warmup: int = 1):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -34,7 +35,7 @@ def run(groups_per_step: int, steps: int = 8, warmup: int = 2):
         AASISTConfig, MeshConfig, RawBoostConfig, TrainConfig, XLSRConfig,
     )
     from occm_tpu.models import AModel
-    from occm_tpu.train.loop import make_train_step
+    from occm_tpu.train.loop import make_multi_step
     from occm_tpu.train.state import create_train_state
 
     cut = 64600
@@ -44,6 +45,7 @@ def run(groups_per_step: int, steps: int = 8, warmup: int = 2):
         lr=1e-5,
         cut=cut,
         groups_per_step=groups_per_step,
+        steps_per_dispatch=k_dispatch,
         compactness_weight=0.0,
         descriptiveness_weight=1.0,
         rawboost=RawBoostConfig(algo=0),
@@ -54,32 +56,35 @@ def run(groups_per_step: int, steps: int = 8, warmup: int = 2):
     rng = jax.random.PRNGKey(0)
     sample = jnp.zeros((batch, cut), jnp.float32)
     state = create_train_state(model, rng, sample, optax.adam(cfg.lr))
-    step_fn = make_train_step(cfg, output_kind="dual")
+    # k full optimizer steps per dispatch, scanned on device
+    step_fn = make_multi_step(cfg, k_dispatch, output_kind="dual")
 
-    x = jnp.asarray(
-        np.random.default_rng(0).normal(size=(batch, cut)).astype(np.float32)
-        * 0.1
+    xs = jnp.asarray(
+        (np.random.default_rng(0).normal(size=(k_dispatch, batch, cut))
+         * 0.1).astype(np.float32)
     )
     labels = jnp.asarray(
-        np.tile(np.array([0] * 6 + [1] * 6, np.int32), groups_per_step)
+        np.tile(np.array([0] * 6 + [1] * 6, np.int32),
+                (k_dispatch, groups_per_step))
     )
 
     # warmup (includes compile); float() forces a host read because the
     # axon tunnel's block_until_ready does not await remote execution
     for i in range(warmup):
-        state, metrics = step_fn(state, (x, labels), jax.random.fold_in(rng, i))
+        state, metrics = step_fn(state, (xs, labels),
+                                 jax.random.fold_in(rng, i))
         float(metrics["loss"])
 
     t0 = time.perf_counter()
     loss = 0.0
-    for i in range(steps):
+    for i in range(chunks):
         state, metrics = step_fn(
-            state, (x, labels), jax.random.fold_in(rng, 100 + i)
+            state, (xs, labels), jax.random.fold_in(rng, 100 + i)
         )
-        loss = float(metrics["loss"])  # per-step host sync: honest timing
+        loss = float(metrics["loss"])  # per-chunk host sync: honest timing
     dt = time.perf_counter() - t0
 
-    utt_per_sec = batch * steps / dt
+    utt_per_sec = batch * k_dispatch * chunks / dt
     return utt_per_sec, loss
 
 

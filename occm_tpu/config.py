@@ -158,6 +158,9 @@ class TrainConfig:
     cut: int = 64600               # ~4 s at 16 kHz (reference: data_utils_SSL.py:67)
     meta_batch: int = 12           # 6 bona + 1 spoof + 5 vocoded (reference: oc_training.py:201-256)
     groups_per_step: int = 1       # G meta-batches stacked [G*12, T] per train step
+    # k train steps dispatched as one on-device lax.scan chunk (1 = plain
+    # step loop); amortises fixed per-dispatch cost on remote TPUs
+    steps_per_dispatch: int = 1
     rawboost: RawBoostConfig = dataclasses.field(default_factory=RawBoostConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     checkpoint_dir: str = "."

@@ -47,15 +47,53 @@ def group_one_class_loss(emb, logits, labels, cw: float, dw: float,
     return cw * c_loss + dw * d_loss, (c_loss, d_loss)
 
 
+def make_multi_step(cfg: TrainConfig, n_steps: int,
+                    apply_rawboost: bool = False,
+                    output_kind: str = "dual") -> Callable:
+    """lax.scan over n_steps stacked batches — the whole chunk runs on
+    device with zero host round trips between steps.
+
+    batches: (x [n_steps, B, T], labels [n_steps, B]). Returns
+    (state, metrics) with metrics averaged over the chunk. Amortises the
+    fixed per-step dispatch cost (~33 ms measured through the remote-TPU
+    tunnel) that a Python step loop pays every iteration.
+    """
+    step_body = _train_step_body(cfg, apply_rawboost, output_kind)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: TrainState, batches, rng):
+        xs, labels = batches
+
+        def body(carry, inp):
+            state, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            x_i, lab_i = inp
+            state, metrics = step_body(state, (x_i, lab_i), step_rng)
+            return (state, rng), metrics
+
+        (state, _), metrics = jax.lax.scan(
+            body, (state, rng), (xs, labels)
+        )
+        return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+    return multi_step
+
+
 def make_train_step(cfg: TrainConfig, apply_rawboost: bool = False,
                     output_kind: str = "dual") -> Callable:
     """Build the jitted train step.
 
     output_kind: "dual" for models returning (emb, logits) (AASIST,
-    SE-ResNet dual head); "logits" for plain classifiers (no compactness).
+    SE-ResNet dual head); "logits" for plain classifiers (no compactness);
+    "angle" for the A-softmax (cos, psi) head + AngleLoss.
     """
+    return partial(jax.jit, donate_argnums=(0,))(
+        _train_step_body(cfg, apply_rawboost, output_kind)
+    )
 
-    @partial(jax.jit, donate_argnums=(0,))
+
+def _train_step_body(cfg: TrainConfig, apply_rawboost: bool,
+                     output_kind: str) -> Callable:
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:
         x, labels = batch
         rb_rng, drop_rng = jax.random.split(rng)
@@ -179,9 +217,32 @@ def train(
         ),
     )
 
-    step_fn = make_train_step(
-        cfg, apply_rawboost=cfg.rawboost.algo != 0, output_kind=output_kind
-    )
+    k_dispatch = max(1, cfg.steps_per_dispatch)
+    if k_dispatch > 1:
+        step_fn = make_multi_step(
+            cfg, k_dispatch, apply_rawboost=cfg.rawboost.algo != 0,
+            output_kind=output_kind,
+        )
+    else:
+        step_fn = make_train_step(
+            cfg, apply_rawboost=cfg.rawboost.algo != 0,
+            output_kind=output_kind,
+        )
+
+    def _batches(epoch):
+        """Yield device-ready batches; chunks of k when multi-dispatching
+        (a ragged tail falls back to skipping — epochs shuffle anyway)."""
+        if k_dispatch == 1:
+            for x, labels in pipeline.epoch(epoch):
+                yield x, labels.astype(jnp.int32)
+            return
+        xs, ls = [], []
+        for x, labels in pipeline.epoch(epoch):
+            xs.append(x)
+            ls.append(labels.astype(jnp.int32))
+            if len(xs) == k_dispatch:
+                yield jnp.stack(xs), jnp.stack(ls)
+                xs, ls = [], []
 
     epochs = num_epochs if num_epochs is not None else cfg.num_epochs
     with mesh:
@@ -190,10 +251,17 @@ def train(
             # sync (a host round trip per step throttles remote TPUs)
             pending = []
             running = {"loss": 0.0, "closs": 0.0, "dloss": 0.0}
-            for i, (x, labels) in enumerate(pipeline.epoch(epoch)):
-                batch = shard_batch(
-                    (x, labels.astype(jnp.int32)), mesh
-                )
+            for i, (x, labels) in enumerate(_batches(epoch)):
+                if k_dispatch > 1:
+                    # chunked [k, B, T]: batch axis (dp) is axis 1
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    sh = NamedSharding(mesh, P(None, "dp"))
+                    batch = (jax.device_put(x, sh),
+                             jax.device_put(labels, sh))
+                else:
+                    batch = shard_batch((x, labels), mesh)
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = step_fn(state, batch, step_rng)
                 pending.append(metrics)
