@@ -125,15 +125,16 @@ def extract_lfcc(y, sr, n_filts: int = 128, n_ceps: int = 13,
                     normalize, pre_emph)
 
 
-def extract_mfcc(y, sr, n_filts: int = 64, n_ceps: int = 13,
+def extract_mfcc(y, sr, n_filts: int = 1024, n_ceps: int = 13,
                  nfft: int = 2048, low: float = 0.0, high: float = 8000.0,
                  normalize: bool = True, pre_emph: float = 0.97):
-    """Mel-frequency cepstra (reference: utils.py:55-66 config)."""
+    """Mel-frequency cepstra (reference: utils.py:55-66 calls spafe with
+    nfilts=1024, nfft=2048 — defaults mirror that call)."""
     return _cepstra(y, sr, n_filts, "mel", n_ceps, nfft, low, high,
                     normalize, pre_emph)
 
 
-def extract_bfcc(y, sr, n_filts: int = 64, n_ceps: int = 13,
+def extract_bfcc(y, sr, n_filts: int = 1024, n_ceps: int = 13,
                  nfft: int = 2048, low: float = 0.0, high: float = 8000.0,
                  normalize: bool = True, pre_emph: float = 0.97):
     """Bark-frequency cepstra (reference: utils.py:21-32 config)."""
@@ -141,7 +142,7 @@ def extract_bfcc(y, sr, n_filts: int = 64, n_ceps: int = 13,
                     normalize, pre_emph)
 
 
-def extract_mel(y, sr, n_filts: int = 64, nfft: int = 2048,
+def extract_mel(y, sr, n_filts: int = 1024, nfft: int = 2048,
                 low: float = 0.0, high: float = 8000.0,
                 pre_emph: float = 0.97):
     """Mel spectrogram (reference: utils.py:68-78)."""
