@@ -16,6 +16,10 @@ import tempfile
 
 import numpy as np
 
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 
 def make_tree(root: str, sr: int = 16000):
     from occm_tpu.io.wav import write_wav
@@ -68,6 +72,11 @@ def make_tree(root: str, sr: int = 16000):
 
 
 def main():
+    if "--cpu" in sys.argv:
+        sys.argv.remove("--cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     root = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
         prefix="occm_demo_"
     )
