@@ -22,7 +22,7 @@ with real batches. distances use torch pairwise_distance eps semantics.
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+from typing import Callable, Iterable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,18 +54,16 @@ class BucketedEmbedder:
 
     def embed_all(self, waves: Iterable[np.ndarray],
                   progress: Optional[Callable[[int], None]] = None
-                  ) -> np.ndarray:
-        """Embed every waveform, preserving input order."""
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+        """Embed every waveform, preserving input order.
+        Returns (embeddings [N, D], logits [N, C])."""
         waves = list(waves)
-        order: List[Tuple[int, int]] = [
-            (i, self._bucket_len(len(w))) for i, w in enumerate(waves)
-        ]
         embs: List[Optional[np.ndarray]] = [None] * len(waves)
+        logits_all: List[Optional[np.ndarray]] = [None] * len(waves)
 
-        # group by bucket, batch within bucket
         by_bucket = {}
-        for i, blen in order:
-            by_bucket.setdefault(blen, []).append(i)
+        for i, w in enumerate(waves):
+            by_bucket.setdefault(self._bucket_len(len(w)), []).append(i)
 
         done = 0
         for blen, idxs in sorted(by_bucket.items()):
@@ -81,14 +79,16 @@ class BucketedEmbedder:
                     batch = np.concatenate(
                         [batch, np.zeros((pad_rows, blen), np.float32)]
                     )
-                emb, _ = self._embed(jnp.asarray(batch))
+                emb, logits = self._embed(jnp.asarray(batch))
                 emb = np.asarray(emb)
+                logits = np.asarray(logits)
                 for j, i in enumerate(chunk):
                     embs[i] = emb[j]
+                    logits_all[i] = logits[j]
                 done += len(chunk)
                 if progress:
                     progress(done)
-        return np.stack(embs)  # type: ignore[arg-type]
+        return np.stack(embs), np.stack(logits_all)  # type: ignore[arg-type]
 
 
 class OneClassScorer:
@@ -111,7 +111,7 @@ class OneClassScorer:
             return np.load(ref_path), float(np.load(thr_path))
 
         waves = (dataset[i][0] for i in range(len(dataset)))
-        embs = self.embedder.embed_all(
+        embs, _ = self.embedder.embed_all(
             waves,
             progress=(lambda n: print(f"embedded {n} ...")) if verbose else None,
         )
@@ -138,7 +138,7 @@ class OneClassScorer:
         """One-class scoring: distance + thresholded prediction per line
         (reference: oc_classifier.py:243-265)."""
         waves = (dataset[i][0] for i in range(len(dataset)))
-        embs = self.embedder.embed_all(
+        embs, _ = self.embedder.embed_all(
             waves,
             progress=(lambda n: print(f"Processing file counts: {n} ..."))
             if verbose else None,
@@ -156,32 +156,12 @@ class OneClassScorer:
     ) -> None:
         """Two-class scoring: bare bonafide logit per line
         (reference: oc_classifier.py:293-312 writes out[0][0])."""
-        waves = [dataset[i][0] for i in range(len(dataset))]
-        # logits come from the same embed fn; re-run capturing them
-        logits_out: List[np.ndarray] = []
-
-        embed = self.embedder._embed
-        bs = self.embedder.batch_size
-        order = [(i, self.embedder._bucket_len(len(w)))
-                 for i, w in enumerate(waves)]
-        by_bucket = {}
-        for i, blen in order:
-            by_bucket.setdefault(blen, []).append(i)
-        logits_all: List[Optional[np.ndarray]] = [None] * len(waves)
-        for blen, idxs in sorted(by_bucket.items()):
-            for start in range(0, len(idxs), bs):
-                chunk = idxs[start: start + bs]
-                batch = np.stack(
-                    [pad_numpy(waves[i], blen) for i in chunk]
-                ).astype(np.float32)
-                if len(chunk) < bs:
-                    batch = np.concatenate(
-                        [batch, np.zeros((bs - len(chunk), blen), np.float32)]
-                    )
-                _, logits = embed(jnp.asarray(batch))
-                logits = np.asarray(logits)
-                for j, i in enumerate(chunk):
-                    logits_all[i] = logits[j]
+        waves = (dataset[i][0] for i in range(len(dataset)))
+        _, logits = self.embedder.embed_all(
+            waves,
+            progress=(lambda n: print(f"Processing file counts: {n} ..."))
+            if verbose else None,
+        )
         with open(score_file, "w") as f:
-            for lg in logits_all:
+            for lg in logits:
                 write_score_line_2c(f, float(lg[0]))  # bonafide logit
