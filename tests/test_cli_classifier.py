@@ -20,6 +20,7 @@ from occm_tpu.train.state import create_train_state
 SR = 16000
 
 
+@pytest.mark.slow
 def test_oc_classifier_cli_end_to_end(tmp_path, monkeypatch):
     # --- fixture tree: 3 bonafide train rows + 4 eval utts ---
     train_dir = tmp_path / "train"

@@ -103,6 +103,7 @@ def test_pfdataset_group_max_mode(fixture_tree):
     assert feats.shape[1] >= 2500
 
 
+@pytest.mark.slow
 def test_train_classify_evaluate_pipeline(fixture_tree, tmp_path):
     """Train 1 epoch of tiny AASIST on the dp mesh, checkpoint, score."""
     from occm_tpu.classify import BucketedEmbedder, OneClassScorer

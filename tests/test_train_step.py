@@ -18,6 +18,8 @@ from occm_tpu.models import AModel
 from occm_tpu.train.loop import group_one_class_loss, make_train_step
 from occm_tpu.train.state import create_train_state
 
+pytestmark = pytest.mark.slow
+
 CUT = 3200
 
 
