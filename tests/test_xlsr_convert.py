@@ -191,3 +191,20 @@ def test_converted_params_drive_flax_model_to_torch_parity():
     oracle = _torch_oracle({k: v.float() for k, v in sd.items()}, wave)
     assert ours.shape == oracle.shape
     np.testing.assert_allclose(ours, oracle, atol=2e-4)
+
+
+def test_generalised_tool_oracle_matches_flax_on_tiny():
+    """The tools/verify_xlsr_parity.py oracle (used against the real 300M
+    checkpoint) must agree with the Flax model on the tiny config too."""
+    from tools.verify_xlsr_parity import torch_wav2vec2_oracle
+
+    sd = _tiny_fairseq_sd(seed=7)
+    params = convert_fairseq_state_dict(sd, CFG)
+    rng = np.random.default_rng(7)
+    wave = (rng.normal(size=(1, 3200)) * 0.1).astype(np.float32)
+
+    oracle = torch_wav2vec2_oracle(sd, wave, CFG)
+    ours = np.asarray(
+        XLSREncoder(CFG).apply({"params": params}, jnp.asarray(wave))
+    )
+    np.testing.assert_allclose(ours, oracle, atol=2e-4)
