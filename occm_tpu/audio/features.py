@@ -14,7 +14,6 @@ Also includes the dense-padding helpers and dataset z-normalisation
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

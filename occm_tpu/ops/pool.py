@@ -18,7 +18,6 @@ All functions take NHWC (TPU-native layout).
 
 from __future__ import annotations
 
-import math
 from typing import Tuple, Union
 
 import jax.numpy as jnp
