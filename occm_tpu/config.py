@@ -149,6 +149,7 @@ class TrainConfig:
     """Training hyper-parameters (reference: oc_training.py:324,342,380-382)."""
 
     model: str = "aasist"          # aasist | ssl_resnet34 | ssl_lcnn | occm | cnn ...
+    optimizer: str = "adam"        # "adam" (optax) | "fused_adam" (Pallas)
     lr: float = 1e-5
     num_epochs: int = 100
     compactness_weight: float = 0.0

@@ -180,7 +180,12 @@ def train(
         sample_input = jnp.zeros(
             (cfg.groups_per_step * cfg.meta_batch, cfg.cut), jnp.float32
         )
-    tx = optax.adam(cfg.lr)
+    if cfg.optimizer == "fused_adam":
+        from occm_tpu.ops.fused_adam import FusedAdam
+
+        tx = FusedAdam(cfg.lr)
+    else:
+        tx = optax.adam(cfg.lr)
     rng, init_rng = jax.random.split(rng)
     state = create_train_state(model, init_rng, sample_input, tx)
     if param_graft is not None:

@@ -25,10 +25,18 @@ class TrainState(struct.PyTreeNode):
     apply_fn: Callable = struct.field(pytree_node=False)
 
     def apply_gradients(self, grads, new_batch_stats):
-        updates, new_opt_state = self.tx.update(
-            grads, self.opt_state, self.params
-        )
-        params = optax.apply_updates(self.params, updates)
+        from occm_tpu.ops.fused_adam import FusedAdam
+
+        if isinstance(self.tx, FusedAdam):
+            # single-pass Pallas update: p/m/v read+written once
+            params, new_opt_state = self.tx.apply(
+                self.params, grads, self.opt_state
+            )
+        else:
+            updates, new_opt_state = self.tx.update(
+                grads, self.opt_state, self.params
+            )
+            params = optax.apply_updates(self.params, updates)
         return self.replace(
             step=self.step + 1,
             params=params,
