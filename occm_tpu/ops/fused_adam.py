@@ -37,21 +37,31 @@ _LANES = 128
 _BLOCK_ROWS = 512
 
 
-def _adam_math(p, m, v, g, t, lr, b1, b2, eps):
-    t = t.astype(jnp.float32)
+def _adam_math(p, m, v, g, inv_bc1, inv_bc2, lr, b1, b2, eps):
     new_m = b1 * m + (1.0 - b1) * g
     new_v = b2 * v + (1.0 - b2) * g * g
-    mhat = new_m / (1.0 - b1 ** t)
-    vhat = new_v / (1.0 - b2 ** t)
+    mhat = new_m * inv_bc1
+    vhat = new_v * inv_bc2
     new_p = p - lr * mhat / (jnp.sqrt(vhat) + eps)
     return new_p, new_m, new_v
 
 
-def _kernel(t_ref, p_ref, m_ref, v_ref, g_ref, op_ref, om_ref, ov_ref, *,
+def _bias_corrections(t, b1, b2):
+    """Scalar 1/(1-b^t) factors — computed OUTSIDE the kernel (Mosaic has
+    no powf legalisation for traced exponents)."""
+    tf = t.astype(jnp.float32)
+    inv_bc1 = 1.0 / (1.0 - b1 ** tf)
+    inv_bc2 = 1.0 / (1.0 - b2 ** tf)
+    return inv_bc1, inv_bc2
+
+
+def _kernel(bc_ref, p_ref, m_ref, v_ref, g_ref, op_ref, om_ref, ov_ref, *,
             lr: float, b1: float, b2: float, eps: float):
-    t = t_ref[0, 0]
+    inv_bc1 = bc_ref[0, 0]
+    inv_bc2 = bc_ref[0, 1]
     new_p, new_m, new_v = _adam_math(
-        p_ref[:], m_ref[:], v_ref[:], g_ref[:], t, lr, b1, b2, eps
+        p_ref[:], m_ref[:], v_ref[:], g_ref[:], inv_bc1, inv_bc2,
+        lr, b1, b2, eps,
     )
     op_ref[:] = new_p
     om_ref[:] = new_m
@@ -61,23 +71,24 @@ def _kernel(t_ref, p_ref, m_ref, v_ref, g_ref, op_ref, om_ref, ov_ref, *,
 def _fused_leaf(p, m, v, g, t, lr, b1, b2, eps, interpret):
     shape = p.shape
     n = p.size
+    inv_bc1, inv_bc2 = _bias_corrections(t, b1, b2)
     if (
         not _HAS_PALLAS
         or p.dtype != jnp.float32
         or n % _LANES != 0
         or n < _LANES * 8
     ):
-        return _adam_math(p, m, v, g, t, lr, b1, b2, eps)
+        return _adam_math(p, m, v, g, inv_bc1, inv_bc2, lr, b1, b2, eps)
 
     rows = n // _LANES
     br = min(_BLOCK_ROWS, rows)
     flat = lambda x: x.reshape(rows, _LANES)
-    t2 = t.astype(jnp.int32).reshape(1, 1)
+    bc = jnp.stack([inv_bc1, inv_bc2]).astype(jnp.float32).reshape(1, 2)
 
     grid = pl.cdiv(rows, br)
     block = pl.BlockSpec((br, _LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    smem = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
     out_shape = [jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)] * 3
 
     new_p, new_m, new_v = pl.pallas_call(
@@ -87,7 +98,7 @@ def _fused_leaf(p, m, v, g, t, lr, b1, b2, eps, interpret):
         in_specs=[smem, block, block, block, block],
         out_specs=[block] * 3,
         interpret=interpret,
-    )(t2, flat(p), flat(m), flat(v), flat(g))
+    )(bc, flat(p), flat(m), flat(v), flat(g))
     unflat = lambda x: x.reshape(shape)
     return unflat(new_p), unflat(new_m), unflat(new_v)
 
