@@ -1,0 +1,153 @@
+"""Cross-cutting robustness tests: logger byte format, resampler, WAV
+format coverage, prefetcher ordering, serve-vs-scorer consistency, SELayer
+oracle."""
+
+import struct
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from occm_tpu.utils.logging import MetricsLogger
+
+
+def test_loss_txt_byte_format(tmp_path):
+    # reference: oc_training.py:393-395 format, incl. trailing space
+    p = tmp_path / "loss.txt"
+    logger = MetricsLogger(loss_txt=str(p), jsonl=None)
+    logger.log_running(epoch=0, i=99, running_loss=123.456,
+                       running_closs=1.0, running_dloss=122.456)
+    line = p.read_text()
+    assert line == (
+        "epoch = 1, i = 100, loss = 1.235, closs = 0.010, dloss = 1.225 \n"
+    )
+
+
+def test_resample_preserves_tone_frequency():
+    from occm_tpu.io.wav import resample
+
+    sr_in, sr_out = 8000, 16000
+    t = np.arange(sr_in) / sr_in
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y = resample(x, sr_in, sr_out)
+    assert abs(len(y) - sr_out) <= 2
+    spec = np.abs(np.fft.rfft(y[: sr_out]))
+    peak_hz = np.argmax(spec) * sr_out / sr_out
+    assert abs(peak_hz - 440) < 3
+
+
+def _write_wav_raw(path, fmt_code, bits, payload, sr=16000, channels=1):
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, fmt_code, channels, sr,
+        sr * channels * bits // 8, channels * bits // 8, bits,
+    )
+    hdr += b"data" + struct.pack("<I", len(payload))
+    with open(path, "wb") as f:
+        f.write(hdr + payload)
+
+
+def test_wav_float32_and_24bit_and_stereo(tmp_path):
+    from occm_tpu.io.wav import read_wav
+
+    x = np.linspace(-0.5, 0.5, 1000).astype(np.float32)
+
+    # float32
+    p = tmp_path / "f32.wav"
+    _write_wav_raw(str(p), 3, 32, x.astype("<f4").tobytes())
+    y, sr = read_wav(str(p))
+    np.testing.assert_allclose(y, x, atol=1e-6)
+
+    # 24-bit PCM
+    v = (x * (1 << 23)).astype(np.int32)
+    b = np.zeros((len(v), 3), np.uint8)
+    b[:, 0] = v & 0xFF
+    b[:, 1] = (v >> 8) & 0xFF
+    b[:, 2] = (v >> 16) & 0xFF
+    p = tmp_path / "p24.wav"
+    _write_wav_raw(str(p), 1, 24, b.tobytes())
+    y, _ = read_wav(str(p))
+    np.testing.assert_allclose(y, x, atol=2e-7)
+
+    # stereo 16-bit -> mono mean
+    left = (x * 32767).astype("<i2")
+    right = np.zeros_like(left)
+    inter = np.empty(2 * len(x), "<i2")
+    inter[0::2] = left
+    inter[1::2] = right
+    p = tmp_path / "st.wav"
+    _write_wav_raw(str(p), 1, 16, inter.tobytes(), channels=2)
+    y, _ = read_wav(str(p))
+    np.testing.assert_allclose(y, x / 2, atol=1e-4)
+
+    # native decoder agrees on all three
+    from occm_tpu.io.native import available, native_read_wav
+
+    if available():
+        for name in ["f32.wav", "p24.wav", "st.wav"]:
+            a, _ = native_read_wav(str(tmp_path / name))
+            b_, _ = read_wav(str(tmp_path / name))
+            np.testing.assert_allclose(a, b_, atol=1e-6)
+
+
+def test_prefetcher_preserves_order():
+    from occm_tpu.data import Prefetcher
+
+    items = list(range(50))
+    out = list(Prefetcher(iter(items), depth=4))
+    assert out == items
+
+
+def test_serve_matches_scorer_distances():
+    from occm_tpu.classify import BucketedEmbedder
+    from occm_tpu.config import AASISTConfig, XLSRConfig
+    from occm_tpu.losses import pairwise_distance
+    from occm_tpu.models import AModel
+    from occm_tpu.serve import ScoringService, make_score_fn
+
+    cut = 3200
+    model = AModel(AASISTConfig(), xlsr_cfg=XLSRConfig.tiny())
+    init_fn = jax.jit(lambda r, x: model.init({"params": r, "dropout": r}, x))
+    variables = init_fn(jax.random.PRNGKey(0), jnp.zeros((2, cut)))
+    fn = make_score_fn(model, variables["params"],
+                       variables.get("batch_stats", {}))
+
+    rng = np.random.default_rng(0)
+    ref = rng.normal(size=160).astype(np.float32)
+    waves = [rng.normal(size=n).astype(np.float32) * 0.1
+             for n in (1500, 3200, 2700)]
+
+    svc = ScoringService(fn, ref, threshold=1.0, buckets=(cut,), batch=2)
+    svc_scores, _ = svc.score(waves)
+
+    embedder = BucketedEmbedder(fn, bucket_step=cut, max_len=cut, batch_size=2)
+    embs, _ = embedder.embed_all(waves)
+    scorer_scores = np.asarray(
+        pairwise_distance(jnp.asarray(embs), jnp.asarray(ref))
+    )
+    np.testing.assert_allclose(svc_scores, scorer_scores, atol=1e-5)
+
+
+def test_selayer_matches_torch_oracle():
+    from occm_tpu.models.senet import SELayer
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 5, 7, 32)).astype(np.float32)
+    layer = SELayer(channel=32, reduction=16)
+    variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = np.asarray(layer.apply(variables, jnp.asarray(x)))
+
+    p = variables["params"]
+    xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+    # reference models/senet.py:24-28
+    y = F.adaptive_avg_pool2d(xt, 1).view(2, 32)
+    y = torch.relu(y @ torch.tensor(np.asarray(p["fc1"]["kernel"])))
+    y = torch.sigmoid(y @ torch.tensor(np.asarray(p["fc2"]["kernel"])))
+    oracle = (xt * y.view(2, 32, 1, 1)).numpy()
+    np.testing.assert_allclose(
+        ours, np.transpose(oracle, (0, 2, 3, 1)), atol=1e-5
+    )
