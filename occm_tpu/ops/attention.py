@@ -165,6 +165,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Pads T to a multiple of 128, masks the padded keys, and drops the pad on
     the way out. Set interpret=True to run the kernel on CPU (tests).
     """
+    if not _HAS_PALLAS:  # environment without pallas: XLA fallback
+        return reference_attention(q, k, v)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, T, H, D = q.shape
