@@ -241,12 +241,15 @@ def train(
             for x, labels in pipeline.epoch(epoch):
                 yield x, labels.astype(jnp.int32)
             return
+        import numpy as np
+
         xs, ls = [], []
         for x, labels in pipeline.epoch(epoch):
-            xs.append(x)
-            ls.append(labels.astype(jnp.int32))
+            xs.append(np.asarray(x))
+            ls.append(np.asarray(labels, np.int32))
             if len(xs) == k_dispatch:
-                yield jnp.stack(xs), jnp.stack(ls)
+                # stack on host: a single device_put then shards the chunk
+                yield np.stack(xs), np.stack(ls)
                 xs, ls = [], []
 
     epochs = num_epochs if num_epochs is not None else cfg.num_epochs
