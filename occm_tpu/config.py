@@ -129,6 +129,19 @@ class AASISTConfig:
     pos_s_nodes: int = 42        # pos_S shape (1, 42, 64) (reference: models/sslassist.py:473)
     ll_dim: int = 128            # LL: 1024 -> 128 (reference: models/sslassist.py:448)
 
+    @staticmethod
+    def tiny() -> "AASISTConfig":
+        """Small config for CPU tests / the multi-chip dryrun.
+
+        pos_s_nodes must stay ll_dim // 3 (the (3,3) max-pool over the
+        LL feature axis sets the spectral node count)."""
+        return AASISTConfig(
+            filts=(24, (1, 8), (8, 8), (8, 16), (16, 16)),
+            gat_dims=(16, 8),
+            pos_s_nodes=8,
+            ll_dim=24,
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:

@@ -226,14 +226,15 @@ class AASISTBackend(nn.Module):
         )(x)
         x = nn.selu(x)                                     # [B,42,F',64]
 
-        # attention stack (reference l.465-471)
-        w = nn.Conv(128, (1, 1), name="att_conv1")(x)
+        # attention stack (reference l.465-471; its hard-coded 128/64 widths
+        # are ll_dim and the last encoder channel count)
+        w = nn.Conv(cfg.ll_dim, (1, 1), name="att_conv1")(x)
         w = nn.selu(w)
         w = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             name="att_bn",
         )(w)
-        w = nn.Conv(64, (1, 1), name="att_conv2")(w)       # [B,42,F',64]
+        w = nn.Conv(chans[-1], (1, 1), name="att_conv2")(w)  # [B,42,F',64]
 
         # spectral branch: softmax over the temporal axis (reference l.526-532)
         w1 = jax.nn.softmax(w, axis=2)
