@@ -51,7 +51,13 @@ def run(groups_per_step: int, k_dispatch: int = 4, chunks: int = 3,
         rawboost=RawBoostConfig(algo=0),
         mesh=MeshConfig(dp=1, tp=1),
     )
-    model = AModel(AASISTConfig(), xlsr_cfg=XLSRConfig())
+    # fast numerics: bf16 layer norms/softmax + tanh GELU, validated
+    # equivalent to the fp32-norm/exact-GELU path at tiny scale
+    # (tests/test_fast_numerics.py) — measured +15% on v5e
+    model = AModel(
+        AASISTConfig(),
+        xlsr_cfg=XLSRConfig(norm_dtype="bfloat16", gelu_approximate=True),
+    )
 
     rng = jax.random.PRNGKey(0)
     sample = jnp.zeros((batch, cut), jnp.float32)

@@ -42,7 +42,12 @@ class BucketedEmbedder:
     """
 
     def __init__(self, embed_fn: Callable, bucket_step: int = 16000,
-                 max_len: int = 16000 * 12, batch_size: int = 8):
+                 max_len: Optional[int] = None, batch_size: int = 8):
+        """max_len=None (default) never truncates: every utterance gets a
+        bucket at least its own length, exactly like the reference's
+        full-length batch=1 scoring (reference: oc_classifier.py:93-94).
+        Set max_len only to deliberately cap compile-cache growth, accepting
+        an EER-affecting crop of longer utterances."""
         self._embed = jax.jit(embed_fn)
         self.bucket_step = bucket_step
         self.max_len = max_len
@@ -50,7 +55,8 @@ class BucketedEmbedder:
 
     def _bucket_len(self, n: int) -> int:
         b = ((n + self.bucket_step - 1) // self.bucket_step) * self.bucket_step
-        return min(max(b, self.bucket_step), self.max_len)
+        b = max(b, self.bucket_step)
+        return b if self.max_len is None else min(b, self.max_len)
 
     def embed_all(self, waves: Iterable[np.ndarray],
                   progress: Optional[Callable[[int], None]] = None

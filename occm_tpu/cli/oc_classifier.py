@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--bucket_step", type=int, default=16000)
     parser.add_argument("--xlsr_tiny", action="store_true")
+    parser.add_argument(
+        "--allow_random_init", action="store_true",
+        help="proceed with random weights if checkpoint restore fails "
+             "(testing only — a real scoring run must hard-fail)",
+    )
     return parser
 
 
@@ -73,6 +78,22 @@ def main(argv=None):
 
     import orbax.checkpoint as ocp
 
+    # fail fast on a missing checkpoint before paying for model init
+    if not args.allow_random_init:
+        to_check = (
+            [args.pretrained_ssl, args.pretrained_senet]
+            if separate and args.pretrained_ssl and args.pretrained_senet
+            else [ckpt]
+        )
+        for path in to_check:
+            if not os.path.isdir(path):
+                raise SystemExit(
+                    f"ERROR: could not restore pretrained weights: "
+                    f"checkpoint {path!r} does not exist.\n"
+                    "Pass --allow_random_init to score with random "
+                    "weights (testing only)."
+                )
+
     sample = jnp.zeros((1, 64600), jnp.float32)
     init_fn = jax.jit(
         lambda r, x: model.init({"params": r, "dropout": r}, x)
@@ -98,9 +119,18 @@ def main(argv=None):
             params = restored["params"]
             batch_stats = restored.get("batch_stats", {})
             print("Pretrained weights loaded")
-    except Exception as e:  # pragma: no cover - CLI convenience path
+    except Exception as e:
+        if not args.allow_random_init:
+            # scoring with random weights writes garbage scores.txt —
+            # hard-fail unless the caller explicitly opted in (test flows)
+            raise SystemExit(
+                f"ERROR: could not restore pretrained weights from "
+                f"{ckpt!r}: {e}\n"
+                "Pass --allow_random_init to score with random weights "
+                "(testing only)."
+            )
         print(f"WARNING: could not restore pretrained weights ({e}); "
-              "using random init")
+              "using random init (--allow_random_init)")
 
     def embed_fn(x):
         v = {"params": params}

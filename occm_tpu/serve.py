@@ -91,7 +91,15 @@ class ScoringService:
         for b in self.buckets:
             if n <= b:
                 return b
-        return self.buckets[-1]
+        # longer than every warm bucket: open a new exact-size bucket
+        # (compiled on first use) rather than silently truncating — the
+        # reference scores full-length audio (oc_classifier.py:93-94)
+        step = self.buckets[0]
+        b = ((n + step - 1) // step) * step
+        if b not in self.buckets:
+            self.buckets.append(b)
+            self.buckets.sort()
+        return b
 
     def score(self, waves: Sequence[np.ndarray]
               ) -> Tuple[np.ndarray, np.ndarray]:

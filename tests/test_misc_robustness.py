@@ -132,6 +132,71 @@ def test_serve_matches_scorer_distances():
     np.testing.assert_allclose(svc_scores, scorer_scores, atol=1e-5)
 
 
+def test_long_utterance_never_truncated():
+    """Utterances longer than every warm bucket are embedded full-length
+    (reference scores full-length audio, oc_classifier.py:93-94); the
+    round-1 max_len cap silently cropped >12 s eval clips."""
+    from occm_tpu.audio import pad_numpy
+    from occm_tpu.classify import BucketedEmbedder
+    from occm_tpu.config import AASISTConfig, XLSRConfig
+    from occm_tpu.losses import pairwise_distance
+    from occm_tpu.models import AModel
+    from occm_tpu.serve import ScoringService, make_score_fn
+
+    cut = 3200
+    long_n = 8000  # 2.5x the bucket step
+    model = AModel(AASISTConfig.tiny(), xlsr_cfg=XLSRConfig.tiny())
+    init_fn = jax.jit(lambda r, x: model.init({"params": r, "dropout": r}, x))
+    variables = init_fn(jax.random.PRNGKey(0), jnp.zeros((2, cut)))
+    fn = make_score_fn(model, variables["params"],
+                       variables.get("batch_stats", {}))
+
+    rng = np.random.default_rng(0)
+    wave = (rng.normal(size=long_n) * 0.1).astype(np.float32)
+
+    # default (max_len=None) embeds at the 9600-sample bucket, full length
+    embedder = BucketedEmbedder(fn, bucket_step=cut, batch_size=2)
+    assert embedder._bucket_len(long_n) == 9600
+    embs, _ = embedder.embed_all([wave])
+    direct_emb, _ = jax.jit(fn)(
+        jnp.asarray(np.stack([pad_numpy(wave, 9600),
+                              np.zeros(9600, np.float32)]))
+    )
+    np.testing.assert_allclose(embs[0], np.asarray(direct_emb)[0], atol=1e-5)
+
+    # ScoringService opens a new exact bucket instead of cropping
+    ref = rng.normal(size=embs.shape[1]).astype(np.float32)
+    svc = ScoringService(fn, ref, threshold=1.0, buckets=(cut,), batch=2)
+    scores, _ = svc.score([wave])
+    expected = float(
+        pairwise_distance(jnp.asarray(embs), jnp.asarray(ref))[0]
+    )
+    np.testing.assert_allclose(scores[0], expected, atol=1e-5)
+    assert 9600 in svc.buckets
+
+
+def test_classifier_cli_hard_fails_on_bad_checkpoint(tmp_path, monkeypatch):
+    """A scoring run must not degrade to random weights (VERDICT r1 #6)."""
+    import pytest
+
+    from occm_tpu.cli import oc_classifier
+
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit) as exc:
+        oc_classifier.main(
+            [
+                "--pretrained-sslaasist", str(tmp_path / "nonexistent_ckpt"),
+                "--protocol_file", str(tmp_path / "nope.txt"),
+                "--dataset_dir", str(tmp_path),
+                "--eval_protocol_file", str(tmp_path / "nope.txt"),
+                "--eval_dataset_dir", str(tmp_path),
+                "--mode", "1c2",
+                "--xlsr_tiny",
+            ]
+        )
+    assert "could not restore" in str(exc.value)
+
+
 def test_selayer_matches_torch_oracle():
     from occm_tpu.models.senet import SELayer
 
