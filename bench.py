@@ -25,7 +25,7 @@ BASELINE_UTT_PER_SEC = 17.0
 
 
 def run(groups_per_step: int, k_dispatch: int = 4, chunks: int = 3,
-        warmup: int = 1):
+        warmup: int = 1, **xlsr_overrides):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -54,10 +54,9 @@ def run(groups_per_step: int, k_dispatch: int = 4, chunks: int = 3,
     # fast numerics: bf16 layer norms/softmax + tanh GELU, validated
     # equivalent to the fp32-norm/exact-GELU path at tiny scale
     # (tests/test_fast_numerics.py) — measured +15% on v5e
-    model = AModel(
-        AASISTConfig(),
-        xlsr_cfg=XLSRConfig(norm_dtype="bfloat16", gelu_approximate=True),
-    )
+    xlsr_kw = dict(norm_dtype="bfloat16", gelu_approximate=True)
+    xlsr_kw.update(xlsr_overrides)
+    model = AModel(AASISTConfig(), xlsr_cfg=XLSRConfig(**xlsr_kw))
 
     rng = jax.random.PRNGKey(0)
     sample = jnp.zeros((batch, cut), jnp.float32)

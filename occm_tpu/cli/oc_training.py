@@ -96,9 +96,7 @@ def make_model(name: str, xlsr_cfg: XLSRConfig):
     if name == "cnn":
         return TotalCNNNet(xlsr_cfg=xlsr_cfg), "logits"
     if name == "occm":
-        raise NotImplementedError(
-            "occm dual-branch training: use ssl_resnet34/ssl_lcnn branches"
-        )
+        return OCCM(xlsr_cfg=xlsr_cfg), "occm"
     raise ValueError(name)
 
 

@@ -96,6 +96,12 @@ class XLSRConfig:
     # fairseq encoder_layerdrop: probability of skipping a transformer
     # layer per step during training
     layerdrop: float = 0.0
+    # cast the (stacked) transformer parameters to bf16 once per step
+    # instead of per use — kills the per-layer fp32->bf16 cast passes
+    # (~6 ms/step measured at batch 96). Same numerics as the default
+    # per-use cast for matmul weights; LN params are bf16 only when
+    # norm_dtype is bf16 anyway.
+    bf16_param_mirror: bool = False
 
     @staticmethod
     def tiny() -> "XLSRConfig":

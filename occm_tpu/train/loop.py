@@ -116,6 +116,22 @@ def _train_step_body(cfg: TrainConfig, apply_rawboost: bool,
                     cfg.compactness_weight, cfg.descriptiveness_weight,
                     cfg.meta_batch,
                 )
+            elif output_kind == "occm":
+                # dual-branch OCCM (reference: models/occm.py:48-67 returns
+                # (senet34_output, lcnn_output); the reference ships no OCCM
+                # trainer, so the loss composes its formulas: compactness on
+                # the SE-ResNet embedding, descriptiveness averaged over
+                # both classifier heads)
+                (emb, senet_logits), lcnn_logits = out
+                loss_s, (c_loss, d_s) = group_one_class_loss(
+                    emb, senet_logits, labels,
+                    cfg.compactness_weight, cfg.descriptiveness_weight,
+                    cfg.meta_batch,
+                )
+                d_l = descriptiveness_loss(lcnn_logits, labels)
+                d_loss = 0.5 * (d_s + d_l)
+                loss = (cfg.compactness_weight * c_loss
+                        + cfg.descriptiveness_weight * d_loss)
             elif output_kind == "angle":
                 # A-softmax head: (cos_theta, psi_theta) + AngleLoss with
                 # the step counter as the annealing iteration

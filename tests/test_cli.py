@@ -85,6 +85,7 @@ def test_trainer_make_model_kinds():
 
     cfg = XLSRConfig.tiny()
     for name, kind in [("aasist", "dual"), ("ssl_resnet34", "dual"),
-                       ("ssl_lcnn", "logits"), ("cnn", "logits")]:
+                       ("ssl_lcnn", "logits"), ("cnn", "logits"),
+                       ("occm", "occm")]:
         model, output_kind = cli_train.make_model(name, cfg)
         assert output_kind == kind

@@ -116,6 +116,37 @@ def test_train_step_angle_head():
     assert int(new_state.step) == 1
 
 
+def test_train_step_occm_dual_branch():
+    """--model occm trains: compactness on the SE-ResNet embedding,
+    descriptiveness averaged over both heads (VERDICT r1 #7)."""
+    from occm_tpu.models.combined import OCCM
+
+    cfg = TrainConfig(
+        compactness_weight=0.1, descriptiveness_weight=0.9, cut=CUT,
+        rawboost=RawBoostConfig(algo=0),
+    )
+    model = OCCM(xlsr_cfg=XLSRConfig.tiny())
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(
+        model, rng, jnp.zeros((12, CUT), jnp.float32), optax.adam(1e-4)
+    )
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(12, CUT)).astype(np.float32)
+        * 0.1
+    )
+    labels = jnp.asarray(np.array([0] * 6 + [1] * 6, np.int32))
+    before = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+    step = make_train_step(cfg, output_kind="occm")
+    new_state, metrics = step(state, (x, labels), jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["closs"]) > 0
+    assert float(metrics["dloss"]) > 0
+    assert int(new_state.step) == 1
+    # params actually moved
+    after = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
+    assert not np.allclose(before, after)
+
+
 def test_multi_step_matches_sequential_single_steps():
     from occm_tpu.train.loop import make_multi_step
 
