@@ -102,6 +102,15 @@ class XLSRConfig:
     # per-use cast for matmul weights; LN params are bf16 only when
     # norm_dtype is bf16 anyway.
     bf16_param_mirror: bool = False
+    # fuse the q/k/v projections into a single [d, 3d] dot (same math, same
+    # checkpoint tree — kernels are concatenated at apply time). The
+    # isolated microbench is ~3x (narrow N=1024 dots ~39 TF/s vs the fused
+    # N=3072 dot ~115 TF/s), but END-TO-END it measured NEGATIVE on v5e
+    # (173.0 vs 180.1 utt/s at batch 96): the per-layer kernel concat adds
+    # HBM traffic inside the scan body that outweighs the dot speedup.
+    # Kept as an off-by-default knob with parity tests
+    # (tests/test_xlsr_extras.py) so the measurement is reproducible.
+    fused_qkv: bool = False
 
     @staticmethod
     def tiny() -> "XLSRConfig":

@@ -71,6 +71,28 @@ class PFDataset:
     def reseed(self, seed: int) -> None:
         self._rng = np.random.default_rng(seed)
 
+    def sample_paths(self, idx: int) -> Tuple[List[str], np.ndarray]:
+        """Resolve the 12 file paths + labels for meta-batch `idx` WITHOUT
+        decoding — the batch-decode fast path (native threaded C++ reader)
+        gathers paths for several meta-batches and decodes them in one
+        call. Consumes the same RNG stream as __getitem__, so mixing the
+        two within an epoch keeps draw-exact sampling order."""
+        main, vocoded, labels = self.sampler.sample(idx, self._rng)
+        paths = [_resolve(self.dataset_dir, n) for n in main]
+        paths += [_resolve(self.vocoded_dir, n) for n in vocoded]
+        return paths, np.asarray(labels, np.int64)
+
+    def supports_native_batch(self) -> bool:
+        """True when meta-batches can be decoded by the C++ threaded batch
+        reader: fixed-cut repeat padding with the stock WAV/FLAC loader."""
+        from occm_tpu.io import native
+
+        return (
+            self.pad_mode == "repeat"
+            and self.loader is _default_loader
+            and native.available()
+        )
+
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (features [12, T], labels [12]) with T = cut (repeat mode)
         or the group max (group_max mode, reference parity)."""

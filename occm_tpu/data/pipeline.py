@@ -60,6 +60,7 @@ class MetaBatchPipeline:
         seed: int = 0,
         drop_remainder: bool = True,
         prefetch_depth: int = 2,
+        decode_threads: int = 8,
     ):
         self.dataset = dataset
         self.groups = groups_per_step
@@ -67,6 +68,14 @@ class MetaBatchPipeline:
         self.seed = seed
         self.drop_remainder = drop_remainder
         self.prefetch_depth = prefetch_depth
+        self.decode_threads = decode_threads
+        # one C++ threaded decode per G-group step instead of 12*G
+        # per-file ctypes calls (VERDICT r1 item 8); falls back to the
+        # per-item path for custom loaders / group_max padding
+        self._native = (
+            hasattr(dataset, "supports_native_batch")
+            and dataset.supports_native_batch()
+        )
 
     def steps_per_epoch(self) -> int:
         n = len(self.dataset) // self.groups
@@ -79,6 +88,9 @@ class MetaBatchPipeline:
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
         self.dataset.reseed(self.seed * 1_000_003 + epoch)
+        if self._native:
+            yield from self._native_epoch_iter(order)
+            return
 
         group_feats, group_labels = [], []
         for idx in order:
@@ -96,6 +108,36 @@ class MetaBatchPipeline:
                 np.concatenate(group_feats, axis=0),
                 np.concatenate(group_labels, axis=0),
             )
+
+    def _native_epoch_iter(self, order: np.ndarray):
+        """Fast path: resolve 12*G paths per step, decode them with ONE
+        threaded C++ call (WAV/FLAC by magic), repeat-padded to `cut`
+        directly into the output buffer — no per-file Python in the loop."""
+        from occm_tpu.io.native import native_read_batch_padded
+
+        n_groups = len(order) // self.groups
+        tail = len(order) % self.groups
+        for g in range(n_groups):
+            idxs = order[g * self.groups:(g + 1) * self.groups]
+            paths, labels = [], []
+            for idx in idxs:
+                p, l = self.dataset.sample_paths(int(idx))
+                paths += p
+                labels.append(l)
+            feats, _, _ = native_read_batch_padded(
+                paths, self.dataset.cut, n_threads=self.decode_threads
+            )
+            yield feats, np.concatenate(labels)
+        if tail and not self.drop_remainder:
+            paths, labels = [], []
+            for idx in order[n_groups * self.groups:]:
+                p, l = self.dataset.sample_paths(int(idx))
+                paths += p
+                labels.append(l)
+            feats, _, _ = native_read_batch_padded(
+                paths, self.dataset.cut, n_threads=self.decode_threads
+            )
+            yield feats, np.concatenate(labels)
 
     def epoch(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         return Prefetcher(self._epoch_iter(epoch), depth=self.prefetch_depth)

@@ -89,6 +89,27 @@ class ConvFeatureExtractor(nn.Module):
         return h
 
 
+class ProjParams(nn.Module):
+    """Parameter-only twin of nn.Dense: declares the same {kernel, bias}
+    tree but leaves the matmul to the caller, so q/k/v projections can be
+    fused into one wide dot while the checkpoint keeps separate q_proj/
+    k_proj/v_proj names (converter + TP sharding rules unchanged)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32,
+        )
+        return kernel, bias
+
+
 class SelfAttention(nn.Module):
     """Multi-head self-attention, fp32 softmax, bf16 matmuls."""
 
@@ -103,9 +124,21 @@ class SelfAttention(nn.Module):
         hd = d // h
         B, T, _ = x.shape
 
-        q = nn.Dense(d, dtype=dt, name="q_proj")(x)
-        k = nn.Dense(d, dtype=dt, name="k_proj")(x)
-        v = nn.Dense(d, dtype=dt, name="v_proj")(x)
+        if cfg.fused_qkv:
+            # one [d, 3d] dot instead of three [d, d] dots: measured 3x
+            # higher MXU rate on v5e for the N=1024 projections (the
+            # emitter runs wide-N dots near peak, narrow-N at ~20%)
+            wq, bq = ProjParams(d, d, name="q_proj")()
+            wk, bk = ProjParams(d, d, name="k_proj")()
+            wv, bv = ProjParams(d, d, name="v_proj")()
+            w = jnp.concatenate([wq, wk, wv], axis=1).astype(dt)
+            b = jnp.concatenate([bq, bk, bv]).astype(dt)
+            qkv = jnp.dot(x.astype(dt), w) + b
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = nn.Dense(d, dtype=dt, name="q_proj")(x)
+            k = nn.Dense(d, dtype=dt, name="k_proj")(x)
+            v = nn.Dense(d, dtype=dt, name="v_proj")(x)
 
         q = q.reshape(B, T, h, hd)
         k = k.reshape(B, T, h, hd)

@@ -239,23 +239,24 @@ def train(
     )
 
     k_dispatch = max(1, cfg.steps_per_dispatch)
+    single_step_fn = make_train_step(
+        cfg, apply_rawboost=cfg.rawboost.algo != 0, output_kind=output_kind,
+    )
     if k_dispatch > 1:
         step_fn = make_multi_step(
             cfg, k_dispatch, apply_rawboost=cfg.rawboost.algo != 0,
             output_kind=output_kind,
         )
     else:
-        step_fn = make_train_step(
-            cfg, apply_rawboost=cfg.rawboost.algo != 0,
-            output_kind=output_kind,
-        )
+        step_fn = single_step_fn
 
     def _batches(epoch):
-        """Yield device-ready batches; chunks of k when multi-dispatching
-        (a ragged tail falls back to skipping — epochs shuffle anyway)."""
+        """Yield ("chunk", xs, ls) stacks of k when multi-dispatching, and
+        flush the up-to-k-1 ragged tail through ("single", x, l) items so
+        no batch is ever dropped (VERDICT r1 item 8)."""
         if k_dispatch == 1:
             for x, labels in pipeline.epoch(epoch):
-                yield x, labels.astype(jnp.int32)
+                yield "single", x, labels.astype(jnp.int32)
             return
         import numpy as np
 
@@ -265,8 +266,32 @@ def train(
             ls.append(np.asarray(labels, np.int32))
             if len(xs) == k_dispatch:
                 # stack on host: a single device_put then shards the chunk
-                yield np.stack(xs), np.stack(ls)
+                yield "chunk", np.stack(xs), np.stack(ls)
                 xs, ls = [], []
+        for x, l in zip(xs, ls):
+            yield "single", x, l
+
+    def _device_batches(epoch):
+        """Double-buffer the host->device upload: issue the (async)
+        device_put for batch i+1 before the consumer dispatches the step on
+        batch i, so the H2D transfer rides under device compute."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        chunk_sh = NamedSharding(mesh, P(None, "dp"))
+        pending_item = None
+        for kind, x, labels in _batches(epoch):
+            if kind == "chunk":
+                # chunked [k, B, T]: batch axis (dp) is axis 1
+                item = kind, (jax.device_put(x, chunk_sh),
+                              jax.device_put(labels, chunk_sh))
+            else:
+                item = kind, shard_batch((x, labels), mesh)
+            if pending_item is not None:
+                yield pending_item
+            pending_item = item
+        if pending_item is not None:
+            yield pending_item
 
     epochs = num_epochs if num_epochs is not None else cfg.num_epochs
     with mesh:
@@ -275,19 +300,10 @@ def train(
             # sync (a host round trip per step throttles remote TPUs)
             pending = []
             running = {"loss": 0.0, "closs": 0.0, "dloss": 0.0}
-            for i, (x, labels) in enumerate(_batches(epoch)):
-                if k_dispatch > 1:
-                    # chunked [k, B, T]: batch axis (dp) is axis 1
-                    from jax.sharding import NamedSharding
-                    from jax.sharding import PartitionSpec as P
-
-                    sh = NamedSharding(mesh, P(None, "dp"))
-                    batch = (jax.device_put(x, sh),
-                             jax.device_put(labels, sh))
-                else:
-                    batch = shard_batch((x, labels), mesh)
+            for i, (kind, batch) in enumerate(_device_batches(epoch)):
                 rng, step_rng = jax.random.split(rng)
-                state, metrics = step_fn(state, batch, step_rng)
+                state, metrics = (step_fn if kind == "chunk"
+                                  else single_step_fn)(state, batch, step_rng)
                 pending.append(metrics)
                 if i % cfg.log_every == cfg.log_every - 1:
                     for m in pending:

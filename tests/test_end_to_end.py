@@ -224,3 +224,33 @@ def test_train_classify_evaluate_pipeline(fixture_tree, tmp_path):
     score_file2 = str(tmp_path / "scores2.txt")
     scorer.score_eval_set_2c(eval_ds, score_file=score_file2)
     assert len(read_comma_scores(score_file2)) == 6
+
+
+def test_native_batch_pipeline_matches_python_path(fixture_tree):
+    """The C++ threaded batch-decode fast path yields byte-identical
+    meta-batches (features AND labels, same RNG stream) to the per-item
+    Python path."""
+    from occm_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native IO library not built")
+
+    def make_pipe():
+        ds = PFDataset(
+            str(fixture_tree / "train.txt"), str(fixture_tree / "train"),
+            vocoded_dir=str(fixture_tree / "vocoded"), cut=CUT,
+        )
+        return MetaBatchPipeline(ds, groups_per_step=2, shuffle=True, seed=3)
+
+    fast = make_pipe()
+    assert fast._native
+    slow = make_pipe()
+    slow._native = False
+
+    fast_batches = list(fast.epoch(1))
+    slow_batches = list(slow.epoch(1))
+    assert len(fast_batches) == len(slow_batches) == 4
+    for (xf, lf), (xs, ls) in zip(fast_batches, slow_batches):
+        assert xf.shape == (24, CUT) and xf.dtype == np.float32
+        np.testing.assert_array_equal(lf, ls)
+        np.testing.assert_array_equal(xf, xs)

@@ -178,3 +178,31 @@ def test_multi_step_matches_sequential_single_steps():
     b = np.asarray(jax.tree_util.tree_leaves(state_seq.params)[0])
     np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-2)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_multi_dispatch_flushes_ragged_tail():
+    """With steps_per_dispatch=2 and 3 batches in the epoch, the trailing
+    batch must still be trained on (VERDICT r1 item 8) -> step == 3."""
+    from occm_tpu.config import MeshConfig
+    from occm_tpu.parallel import make_mesh
+    from occm_tpu.train.loop import train
+
+    class FakePipeline:
+        def epoch(self, epoch):
+            gen = np.random.default_rng(epoch)
+            for _ in range(3):
+                x = gen.normal(size=(12, CUT)).astype(np.float32) * 0.1
+                labels = np.array([0] * 6 + [1] * 6, np.int32)
+                yield x, labels
+
+    cfg = TrainConfig(
+        lr=1e-4, cut=CUT, groups_per_step=1, steps_per_dispatch=2,
+        compactness_weight=0.1, descriptiveness_weight=0.9,
+        rawboost=RawBoostConfig(algo=0), mesh=MeshConfig(dp=1, tp=1),
+        log_every=100,
+    )
+    model = AModel(AASISTConfig.tiny(), xlsr_cfg=XLSRConfig.tiny())
+    mesh = make_mesh(cfg.mesh, devices=jax.devices()[:1])
+    state = train(model, FakePipeline(), cfg, mesh=mesh, num_epochs=1,
+                  sample_input=jnp.zeros((12, CUT), jnp.float32))
+    assert int(state.step) == 3

@@ -75,3 +75,40 @@ def test_layerdrop_zero_matches_and_training_path_runs():
     t2 = model.apply(variables, wave, train=True,
                      rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_fused_qkv_matches_separate_projections():
+    """fused_qkv concatenates the q/k/v kernels into one wide dot at apply
+    time; the parameter tree (q_proj/k_proj/v_proj {kernel,bias}) and the
+    math are unchanged, so outputs must agree and checkpoints stay
+    interchangeable."""
+    wave = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 3200)).astype(np.float32)
+    )
+    cfg_sep = XLSRConfig.tiny()
+    cfg_fused = dataclasses.replace(cfg_sep, fused_qkv=True)
+
+    m_sep = XLSREncoder(cfg_sep)
+    m_fused = XLSREncoder(cfg_fused)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)}
+    p_sep = m_sep.init(rngs, wave)
+    p_fused = m_fused.init(rngs, wave)
+
+    # identical parameter trees: same names, shapes, dtypes
+    flat_sep = jax.tree_util.tree_flatten_with_path(p_sep)[0]
+    flat_fused = jax.tree_util.tree_flatten_with_path(p_fused)[0]
+    assert [(k, v.shape, v.dtype) for k, v in flat_sep] == [
+        (k, v.shape, v.dtype) for k, v in flat_fused
+    ]
+
+    # same params -> same output (one wide dot vs three narrow dots)
+    y_sep = m_sep.apply(p_sep, wave)
+    y_fused = m_fused.apply(p_sep, wave)
+    np.testing.assert_allclose(
+        np.asarray(y_sep, np.float32), np.asarray(y_fused, np.float32),
+        rtol=2e-2, atol=2e-4,
+    )
+    rel = float(
+        jnp.linalg.norm(y_sep - y_fused) / (jnp.linalg.norm(y_sep) + 1e-20)
+    )
+    assert rel < 2e-3, f"fused-qkv relative L2 {rel}"
