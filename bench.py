@@ -53,8 +53,12 @@ def run(groups_per_step: int, k_dispatch: int = 4, chunks: int = 3,
     )
     # fast numerics: bf16 layer norms/softmax + tanh GELU, validated
     # equivalent to the fp32-norm/exact-GELU path at tiny scale
-    # (tests/test_fast_numerics.py) — measured +15% on v5e
-    xlsr_kw = dict(norm_dtype="bfloat16", gelu_approximate=True)
+    # (tests/test_fast_numerics.py) — measured +15% on v5e.
+    # bf16_param_mirror casts transformer weights to bf16 once per step
+    # instead of per use — numerically identical (same cast, same values),
+    # measured +2.6 utt/s (182.7 vs 180.1).
+    xlsr_kw = dict(norm_dtype="bfloat16", gelu_approximate=True,
+                   bf16_param_mirror=True)
     xlsr_kw.update(xlsr_overrides)
     model = AModel(AASISTConfig(), xlsr_cfg=XLSRConfig(**xlsr_kw))
 

@@ -380,14 +380,16 @@ def _best_rice_param(res: List[int], plen: int) -> int:
 
 
 def encode_flac_mono16(x: np.ndarray, sr: int, block_size: int = 4096,
-                       subframe: str = "fixed2") -> bytes:
+                       subframe: str = "fixed2", seek_every: int = 0) -> bytes:
     """Encode int16 mono to FLAC (test vectors; not a production encoder).
 
     subframe: constant-aware; 'verbatim', 'fixed0'..'fixed4'.
+    seek_every: if > 0, write a SEEKTABLE metadata block with a point at
+    every Nth frame (spec 18-byte entries: sample, byte offset relative to
+    the first frame, frame sample count).
     """
     x = np.asarray(x, np.int64)
     out = bytearray(b"fLaC")
-    # STREAMINFO (last metadata block)
     si = _BitWriter()
     si.write(block_size, 16)
     si.write(block_size, 16)
@@ -397,12 +399,11 @@ def encode_flac_mono16(x: np.ndarray, sr: int, block_size: int = 4096,
     si.write(0, 3)       # channels-1
     si.write(15, 5)      # bps-1
     si.write(len(x) & ((1 << 36) - 1), 36)
-    body = si_bytes = None
-    si_buf = si
-    si_buf.align()
-    body = si_buf.bytes() + b"\x00" * 16  # md5 zeros
-    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    si.align()
+    body = si.bytes() + b"\x00" * 16  # md5 zeros
 
+    frames: list = []  # (start_sample, n_samples, frame_bytes)
+    sample_pos = 0
     frame_idx = 0
     for start in range(0, len(x), block_size):
         blk = x[start: start + block_size]
@@ -467,8 +468,26 @@ def encode_flac_mono16(x: np.ndarray, sr: int, block_size: int = 4096,
         sw.align()
         frame = hdr + sw.bytes()
         frame += _crc16(frame).to_bytes(2, "big")
-        out += frame
+        frames.append((sample_pos, n, frame))
+        sample_pos += n
         frame_idx += 1
+
+    meta = [(0, body)]
+    if seek_every > 0:
+        st = bytearray()
+        offset = 0
+        for i, (spos, n, fr) in enumerate(frames):
+            if i % seek_every == 0:
+                st += spos.to_bytes(8, "big")
+                st += offset.to_bytes(8, "big")
+                st += n.to_bytes(2, "big")
+            offset += len(fr)
+        meta.append((3, bytes(st)))
+    for i, (btype, b) in enumerate(meta):
+        last = 0x80 if i == len(meta) - 1 else 0x00
+        out += bytes([last | btype]) + len(b).to_bytes(3, "big") + b
+    for _, _, fr in frames:
+        out += fr
     return bytes(out)
 
 

@@ -60,6 +60,37 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.ocm_free.restype = None
     lib.ocm_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    # FLAC extras (round 2): CRC toggle, seektable, ranged + streaming reads
+    lib.ocm_set_flac_crc.restype = None
+    lib.ocm_set_flac_crc.argtypes = [ctypes.c_int]
+    lib.ocm_flac_seek_points.restype = ctypes.c_int
+    lib.ocm_flac_seek_points.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int,
+    ]
+    lib.ocm_read_flac_range.restype = ctypes.c_int
+    lib.ocm_read_flac_range.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.ocm_flac_open.restype = ctypes.c_void_p
+    lib.ocm_flac_open.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.ocm_flac_read.restype = ctypes.c_int64
+    lib.ocm_flac_read.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
+    lib.ocm_flac_close.restype = None
+    lib.ocm_flac_close.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB
 
@@ -111,3 +142,98 @@ def native_read_batch_padded(
     if rc != 0:
         raise IOError(f"ocm_read_batch_padded failed rc={rc}")
     return out, valid, srs
+
+
+def set_flac_crc_verify(enable: bool) -> None:
+    """Toggle CRC-8/CRC-16 verification in the native FLAC decoder
+    (default ON; the Python oracle in occm_tpu.io.flac always verifies)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library not built (make -C native)")
+    lib.ocm_set_flac_crc(1 if enable else 0)
+
+
+def flac_seek_points(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """SEEKTABLE of a FLAC file -> (samples [N], byte offsets [N]).
+    Offsets are relative to the first audio frame. Empty arrays when the
+    file has no seektable."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library not built (make -C native)")
+    cap = 4096
+    samples = np.empty((cap,), np.int64)
+    offsets = np.empty((cap,), np.int64)
+    n = lib.ocm_flac_seek_points(
+        path.encode(),
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cap,
+    )
+    if n < 0:
+        raise IOError(f"ocm_flac_seek_points({path}) failed rc={n}")
+    n = min(n, cap)
+    return samples[:n].copy(), offsets[:n].copy()
+
+
+def native_read_flac_range(path: str, start: int, count: int
+                           ) -> Tuple[np.ndarray, int]:
+    """Decode samples [start, start+count) of a FLAC file, seeking via the
+    SEEKTABLE when present -> (float32 [n<=count], sample_rate)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library not built (make -C native)")
+    out = np.empty((count,), np.float32)
+    got = ctypes.c_int64()
+    sr = ctypes.c_int()
+    rc = lib.ocm_read_flac_range(
+        path.encode(), start, count,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(got), ctypes.byref(sr),
+    )
+    if rc != 0:
+        raise IOError(f"ocm_read_flac_range({path}) failed rc={rc}")
+    return out[: got.value].copy(), sr.value
+
+
+class FlacStream:
+    """Streaming FLAC reader over the native decoder: constant memory per
+    read, frame-at-a-time decode (for long eval audio / future online
+    serving). Use as a context manager."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native IO library not built (make -C native)")
+        self._lib = lib
+        sr = ctypes.c_int()
+        total = ctypes.c_int64()
+        self._h = lib.ocm_flac_open(path.encode(), ctypes.byref(sr),
+                                    ctypes.byref(total))
+        if not self._h:
+            raise IOError(f"ocm_flac_open({path}) failed")
+        self.sample_rate = sr.value
+        self.total_samples = total.value  # 0 = unknown
+
+    def read(self, count: int) -> np.ndarray:
+        """Next `count` samples (shorter at EOF, empty when exhausted)."""
+        if self._h is None:
+            raise ValueError("stream closed")
+        out = np.empty((count,), np.float32)
+        n = self._lib.ocm_flac_read(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            count,
+        )
+        if n < 0:
+            raise IOError(f"ocm_flac_read failed rc={n}")
+        return out[:n].copy()
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.ocm_flac_close(self._h)
+            self._h = None
+
+    def __enter__(self) -> "FlacStream":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
