@@ -111,6 +111,16 @@ class XLSRConfig:
     # Kept as an off-by-default knob with parity tests
     # (tests/test_xlsr_extras.py) so the measurement is reproducible.
     fused_qkv: bool = False
+    # FFN implementation: "xla" (two Dense + GELU, XLA-fused) or "pallas"
+    # (occm_tpu.ops.ffn fused kernel — the [M,4096] hidden activation
+    # never leaves VMEM; measured 122 vs 99 TF/s FORWARD on the bench
+    # shape). END-TO-END TRAINING it measured NEGATIVE (179.0 vs 182.7
+    # utt/s): under the scan's rematerialisation the custom-VJP backward
+    # re-runs the FFN forward in XLA a third time, which costs more than
+    # the fused forward saves. Off by default; wins for inference-heavy
+    # paths and kept parity-tested (tests/test_ops.py) until a fused
+    # backward kernel lands. Checkpoint tree identical in both modes.
+    ffn_impl: str = "xla"
 
     @staticmethod
     def tiny() -> "XLSRConfig":

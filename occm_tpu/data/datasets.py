@@ -63,21 +63,27 @@ class PFDataset:
         self.cut = cut
         self.pad_mode = pad_mode
         self.loader = loader
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
 
     def __len__(self) -> int:
         return len(self.sampler)
 
     def reseed(self, seed: int) -> None:
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+
+    def _rng_for(self, idx: int) -> np.random.Generator:
+        """Per-index RNG: the random picks inside a meta-batch depend only
+        on (seed, idx), not on iteration order — so multi-host shards and
+        resumed epochs sample identically to a single-host run."""
+        return np.random.default_rng((self._seed, idx))
 
     def sample_paths(self, idx: int) -> Tuple[List[str], np.ndarray]:
         """Resolve the 12 file paths + labels for meta-batch `idx` WITHOUT
         decoding — the batch-decode fast path (native threaded C++ reader)
         gathers paths for several meta-batches and decodes them in one
-        call. Consumes the same RNG stream as __getitem__, so mixing the
-        two within an epoch keeps draw-exact sampling order."""
-        main, vocoded, labels = self.sampler.sample(idx, self._rng)
+        call. Uses the same per-index RNG as __getitem__, so both paths
+        sample identical meta-batches in any iteration order."""
+        main, vocoded, labels = self.sampler.sample(idx, self._rng_for(idx))
         paths = [_resolve(self.dataset_dir, n) for n in main]
         paths += [_resolve(self.vocoded_dir, n) for n in vocoded]
         return paths, np.asarray(labels, np.int64)
@@ -96,7 +102,7 @@ class PFDataset:
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (features [12, T], labels [12]) with T = cut (repeat mode)
         or the group max (group_max mode, reference parity)."""
-        main, vocoded, labels = self.sampler.sample(idx, self._rng)
+        main, vocoded, labels = self.sampler.sample(idx, self._rng_for(idx))
         waves: List[np.ndarray] = []
         for name in main:
             wave, _ = self.loader(_resolve(self.dataset_dir, name))

@@ -61,6 +61,8 @@ class MetaBatchPipeline:
         drop_remainder: bool = True,
         prefetch_depth: int = 2,
         decode_threads: int = 8,
+        shard_index: Optional[int] = None,
+        shard_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.groups = groups_per_step
@@ -69,6 +71,22 @@ class MetaBatchPipeline:
         self.drop_remainder = drop_remainder
         self.prefetch_depth = prefetch_depth
         self.decode_threads = decode_threads
+        # multi-host data sharding: every host shuffles with the same seed
+        # then takes a disjoint strided slice of the epoch order, so the
+        # global batch = concat of per-host batches with no overlap
+        # (defaults to jax.process_index()/process_count() when the
+        # distributed runtime is initialised; single-host = identity)
+        if shard_index is None or shard_count is None:
+            import jax
+
+            shard_index = jax.process_index()
+            shard_count = jax.process_count()
+        if not 0 <= shard_index < shard_count:
+            raise ValueError(
+                f"shard_index {shard_index} not in [0, {shard_count})"
+            )
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         # one C++ threaded decode per G-group step instead of 12*G
         # per-file ctypes calls (VERDICT r1 item 8); falls back to the
         # per-item path for custom loaders / group_max padding
@@ -77,9 +95,14 @@ class MetaBatchPipeline:
             and dataset.supports_native_batch()
         )
 
+    def _shard_len(self) -> int:
+        n = len(self.dataset)
+        return (n - self.shard_index + self.shard_count - 1) \
+            // self.shard_count
+
     def steps_per_epoch(self) -> int:
-        n = len(self.dataset) // self.groups
-        if not self.drop_remainder and len(self.dataset) % self.groups:
+        n = self._shard_len() // self.groups
+        if not self.drop_remainder and self._shard_len() % self.groups:
             n += 1
         return n
 
@@ -87,6 +110,8 @@ class MetaBatchPipeline:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
+        if self.shard_count > 1:
+            order = order[self.shard_index::self.shard_count]
         self.dataset.reseed(self.seed * 1_000_003 + epoch)
         if self._native:
             yield from self._native_epoch_iter(order)

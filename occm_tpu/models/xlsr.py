@@ -191,9 +191,23 @@ class TransformerLayer(nn.Module):
 
         residual = x
         h = ln("final_layer_norm")(x) if cfg.layer_norm_first else x
-        h = nn.Dense(cfg.encoder_ffn_dim, dtype=dt, name="fc1")(h)
-        h = jax.nn.gelu(h, approximate=cfg.gelu_approximate)
-        h = nn.Dense(cfg.encoder_embed_dim, dtype=dt, name="fc2")(h)
+        if cfg.ffn_impl == "pallas":
+            # fused fc1+GELU+fc2 kernel: hidden [M,4096] activation stays
+            # in VMEM (occm_tpu.ops.ffn; measured 122 vs 99 TF/s XLA).
+            # Same checkpoint tree: parameters declared via ProjParams.
+            from occm_tpu.ops.ffn import fused_ffn
+
+            w1, b1 = ProjParams(cfg.encoder_embed_dim,
+                                cfg.encoder_ffn_dim, name="fc1")()
+            w2, b2 = ProjParams(cfg.encoder_ffn_dim,
+                                cfg.encoder_embed_dim, name="fc2")()
+            h = fused_ffn(h.astype(dt), w1.astype(dt), b1.astype(dt),
+                          w2.astype(dt), b2.astype(dt),
+                          approximate=cfg.gelu_approximate)
+        else:
+            h = nn.Dense(cfg.encoder_ffn_dim, dtype=dt, name="fc1")(h)
+            h = jax.nn.gelu(h, approximate=cfg.gelu_approximate)
+            h = nn.Dense(cfg.encoder_embed_dim, dtype=dt, name="fc2")(h)
         h = drop()(h)
         x = residual + h
         if not cfg.layer_norm_first:

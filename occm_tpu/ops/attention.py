@@ -115,6 +115,11 @@ def _run_fwd(q, k, v, t_valid: int, scale: float, interpret: bool):
         grid=(B * H,),
         in_specs=[_bh_spec(T, D)] * 3,
         out_specs=_bh_spec(T, D),
+        # without dimension_semantics Mosaic does not pipeline the grid on
+        # this toolchain (measured ~10x slowdown on the FFN kernel)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(B, H, T, D)
@@ -130,6 +135,9 @@ def _run_bwd(q, k, v, do, t_valid: int, scale: float, interpret: bool):
         grid=(B * H,),
         in_specs=[_bh_spec(T, D)] * 4,
         out_specs=[_bh_spec(T, D)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
         interpret=interpret,
     )(flat(q), flat(k), flat(v), flat(do))
     unflat = lambda x: x.reshape(B, H, T, D)

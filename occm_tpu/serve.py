@@ -13,7 +13,11 @@ reference: oc_classifier.py:243-265). For production deployment:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence, Tuple
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -123,3 +127,93 @@ class ScoringService:
                     out_scores[i] = d[j]
         preds = (out_scores > self.threshold).astype(np.int32)
         return out_scores, preds
+
+
+class BatchingQueue:
+    """Dynamic batcher in front of a ScoringService.
+
+    Single-utterance requests are grouped until the service batch size is
+    reached or `max_wait_ms` elapses since the oldest queued request, then
+    scored in one device call (the reference's batch=1 eval loop leaves
+    the accelerator idle between utterances; this keeps real batches on
+    the MXU under concurrent load while bounding tail latency).
+
+    submit() returns a Future resolving to (score, prediction);
+    score_sync() is the blocking convenience wrapper.
+    """
+
+    def __init__(self, service: ScoringService, max_wait_ms: float = 5.0):
+        self.service = service
+        self.max_wait = max_wait_ms / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, wave: np.ndarray) -> "Future":
+        if self._stop.is_set():
+            raise RuntimeError("BatchingQueue is closed")
+        fut: Future = Future()
+        self._q.put((np.asarray(wave, np.float32), fut))
+        return fut
+
+    def score_sync(self, wave: np.ndarray,
+                   timeout: Optional[float] = None) -> Tuple[float, int]:
+        return self.submit(wave).result(timeout=timeout)
+
+    def close(self) -> None:
+        self._stop.set()
+        self._q.put(None)  # wake the worker
+        self._thread.join()
+
+    def __enter__(self) -> "BatchingQueue":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # ------------------------------------------------------------ worker
+
+    def _collect(self) -> List[Tuple[np.ndarray, Future]]:
+        """Block for the first request, then fill the batch until the
+        service batch size or the wait deadline."""
+        first = self._q.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait
+        while len(batch) < self.service.batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:
+                break
+            batch.append(item)
+        return batch
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            waves = [w for w, _ in batch]
+            try:
+                scores, preds = self.service.score(waves)
+            except Exception as e:  # propagate to all waiting callers
+                for _, fut in batch:
+                    fut.set_exception(e)
+                continue
+            for i, (_, fut) in enumerate(batch):
+                fut.set_result((float(scores[i]), int(preds[i])))
+        # drain: fail anything still queued after close()
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].set_exception(RuntimeError("queue closed"))

@@ -254,3 +254,29 @@ def test_native_batch_pipeline_matches_python_path(fixture_tree):
         assert xf.shape == (24, CUT) and xf.dtype == np.float32
         np.testing.assert_array_equal(lf, ls)
         np.testing.assert_array_equal(xf, xs)
+
+
+def test_pipeline_host_sharding_partitions_epoch(fixture_tree):
+    """Two shards with the same seed cover every meta-batch exactly once
+    (multi-host input sharding: same shuffle, disjoint strided slices)."""
+    def make(si, sc):
+        ds = PFDataset(
+            str(fixture_tree / "train.txt"), str(fixture_tree / "train"),
+            vocoded_dir=str(fixture_tree / "vocoded"), cut=CUT,
+        )
+        return MetaBatchPipeline(ds, groups_per_step=1, shuffle=True,
+                                 seed=7, shard_index=si, shard_count=sc)
+
+    full = make(0, 1)
+    s0, s1 = make(0, 2), make(1, 2)
+    assert s0.steps_per_epoch() + s1.steps_per_epoch() == \
+        full.steps_per_epoch() == 8
+
+    def keys(pipe):
+        return [x.tobytes() for x, _ in pipe.epoch(2)]
+
+    k_full, k0, k1 = keys(full), keys(s0), keys(s1)
+    assert len(k0) == len(k1) == 4
+    # disjoint and jointly covering the full epoch's batches
+    assert set(k0).isdisjoint(k1)
+    assert set(k0) | set(k1) == set(k_full)

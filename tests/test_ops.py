@@ -50,3 +50,67 @@ def test_mfm_max():
     x = jnp.arange(8.0).reshape(1, 8)
     out = mfm_max(x, 4)
     np.testing.assert_array_equal(np.asarray(out)[0], [4, 5, 6, 7])
+
+
+class TestFusedFFN:
+    """Pallas fused FFN (occm_tpu.ops.ffn) vs the XLA reference path.
+
+    Runs the kernel in interpret mode on CPU; real-dtype (bf16) numerics
+    are exercised on TPU by the bench and tests/test_fast_numerics.py."""
+
+    def _inputs(self, m=300, d=1024, f=4096, dtype=np.float32):
+        import jax
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, m // 2, d)) * 0.1, dtype)
+        w1 = jnp.asarray(rng.normal(size=(d, f)) * 0.02, dtype)
+        b1 = jnp.asarray(rng.normal(size=(f,)) * 0.01, dtype)
+        w2 = jnp.asarray(rng.normal(size=(f, d)) * 0.02, dtype)
+        b2 = jnp.asarray(rng.normal(size=(d,)) * 0.01, dtype)
+        return x, w1, b1, w2, b2
+
+    def test_forward_matches_xla(self):
+        from occm_tpu.ops.ffn import _xla_ffn, fused_ffn
+
+        x, w1, b1, w2, b2 = self._inputs()
+        y = fused_ffn(x, w1, b1, w2, b2, approximate=True, interpret=True)
+        ref = _xla_ffn(x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
+                       approximate=True)
+        assert y.shape == x.shape
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_gradients_match_xla(self):
+        import jax
+
+        from occm_tpu.ops.ffn import _xla_ffn, fused_ffn
+
+        x, w1, b1, w2, b2 = self._inputs(m=128)
+
+        def loss_fused(args):
+            return jnp.sum(fused_ffn(*args, approximate=True,
+                                     interpret=True) ** 2)
+
+        def loss_xla(args):
+            x, w1, b1, w2, b2 = args
+            return jnp.sum(_xla_ffn(x, w1, b1.reshape(1, -1), w2,
+                                    b2.reshape(1, -1), True) ** 2)
+
+        g1 = jax.grad(loss_fused)((x, w1, b1, w2, b2))
+        g2 = jax.grad(loss_xla)((x, w1, b1, w2, b2))
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a),
+                                       np.asarray(b).reshape(a.shape),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_small_dims_fall_back_to_xla(self):
+        from occm_tpu.ops.ffn import fused_ffn
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(4, 10, 16)), np.float32)
+        w1 = jnp.asarray(rng.normal(size=(16, 32)) * 0.1, np.float32)
+        b1 = jnp.zeros((32,), np.float32)
+        w2 = jnp.asarray(rng.normal(size=(32, 16)) * 0.1, np.float32)
+        b2 = jnp.zeros((16,), np.float32)
+        y = fused_ffn(x, w1, b1, w2, b2)
+        assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()

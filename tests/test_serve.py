@@ -61,3 +61,54 @@ def test_scoring_service_end_to_end():
     # deterministic
     scores2, _ = svc.score(waves)
     np.testing.assert_array_equal(scores, scores2)
+
+
+def test_batching_queue_matches_direct_and_batches():
+    """Concurrent submits produce the same scores as direct service calls,
+    and the dynamic batcher actually groups them into batched device
+    calls (call count < request count)."""
+    from occm_tpu.serve import BatchingQueue
+
+    fn = _model_and_fn()
+    rng = np.random.default_rng(1)
+    ref = rng.normal(size=160).astype(np.float32)
+    svc = ScoringService(fn, ref, threshold=5.0, buckets=(CUT,), batch=4)
+    svc.warmup()
+    waves = [rng.normal(size=CUT).astype(np.float32) * 0.1
+             for _ in range(8)]
+    direct_scores, direct_preds = svc.score(waves)
+
+    calls = []
+    orig = svc.score
+
+    def counting_score(ws):
+        calls.append(len(ws))
+        return orig(ws)
+
+    svc.score = counting_score
+    try:
+        with BatchingQueue(svc, max_wait_ms=200.0) as q:
+            futs = [q.submit(w) for w in waves]
+            results = [f.result(timeout=60) for f in futs]
+    finally:
+        svc.score = orig
+
+    for i, (s, p) in enumerate(results):
+        assert s == float(direct_scores[i])
+        assert p == int(direct_preds[i])
+    assert sum(calls) == 8
+    assert len(calls) < 8, f"no batching happened: {calls}"
+
+
+def test_batching_queue_close_rejects_new_submits():
+    from occm_tpu.serve import BatchingQueue
+
+    fn = _model_and_fn()
+    ref = np.zeros(160, np.float32)
+    svc = ScoringService(fn, ref, threshold=5.0, buckets=(CUT,), batch=2)
+    q = BatchingQueue(svc, max_wait_ms=1.0)
+    q.close()
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        q.submit(np.zeros(100, np.float32))

@@ -112,3 +112,28 @@ def test_fused_qkv_matches_separate_projections():
         jnp.linalg.norm(y_sep - y_fused) / (jnp.linalg.norm(y_sep) + 1e-20)
     )
     assert rel < 2e-3, f"fused-qkv relative L2 {rel}"
+
+
+def test_ffn_impl_pallas_same_tree_and_output():
+    """ffn_impl="pallas" keeps the fc1/fc2 {kernel,bias} checkpoint tree
+    and the same math (tiny dims route through the op's XLA fallback; the
+    real kernel path is parity-tested in tests/test_ops.py and exercised
+    on TPU by the bench)."""
+    wave = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 3200)).astype(np.float32)
+    )
+    cfg_xla = XLSRConfig.tiny()
+    cfg_pl = dataclasses.replace(cfg_xla, ffn_impl="pallas")
+    m_xla, m_pl = XLSREncoder(cfg_xla), XLSREncoder(cfg_pl)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)}
+    p_xla = m_xla.init(rngs, wave)
+    p_pl = m_pl.init(rngs, wave)
+    flat_a = jax.tree_util.tree_flatten_with_path(p_xla)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(p_pl)[0]
+    assert [(k, v.shape) for k, v in flat_a] == [
+        (k, v.shape) for k, v in flat_b
+    ]
+    y_a = m_xla.apply(p_xla, wave)
+    y_b = m_pl.apply(p_xla, wave)
+    np.testing.assert_allclose(np.asarray(y_a), np.asarray(y_b),
+                               rtol=2e-3, atol=2e-5)
