@@ -289,6 +289,32 @@ int ocm_read_batch_padded(const char** paths, int count, float* out,
   return 0;
 }
 
+// Decode samples [start, start+max_count) of a WAV/FLAC file (WAV seeks
+// directly; FLAC routes through the seektable-aware range decoder).
+int ocm_read_audio_range(const char* path, int64_t start, int64_t max_count,
+                         float* out, int64_t* got, int* sr) {
+  *got = 0;
+  if (start < 0) start = 0;
+  std::vector<uint8_t> buf;
+  int rc = read_file(path, &buf);
+  if (rc) return 10 + rc;
+  if (buf.size() >= 4 && memcmp(buf.data(), "fLaC", 4) == 0) {
+    extern int ocm_read_flac_range(const char*, int64_t, int64_t, float*,
+                                   int64_t*, int*);
+    return ocm_read_flac_range(path, start, max_count, out, got, sr);
+  }
+  Wav w;
+  rc = decode_wav(buf.data(), buf.size(), &w);
+  if (rc) return rc;
+  *sr = w.sample_rate;
+  int64_t n = (int64_t)w.samples.size();
+  if (start >= n) return 0;
+  int64_t count = n - start < max_count ? n - start : max_count;
+  memcpy(out, w.samples.data() + start, sizeof(float) * (size_t)count);
+  *got = count;
+  return 0;
+}
+
 void ocm_free(float* p) { free(p); }
 
 }  // extern "C"

@@ -91,6 +91,15 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.ocm_flac_close.restype = None
     lib.ocm_flac_close.argtypes = [ctypes.c_void_p]
+    lib.ocm_read_audio_range.restype = ctypes.c_int
+    lib.ocm_read_audio_range.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     _LIB = lib
     return _LIB
 
@@ -237,3 +246,23 @@ class FlacStream:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+def native_read_audio_range(path: str, start: int, count: int
+                            ) -> Tuple[np.ndarray, int]:
+    """Decode samples [start, start+count) of a WAV or FLAC file (FLAC
+    seeks via the SEEKTABLE when present) -> (float32 [n<=count], sr)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library not built (make -C native)")
+    out = np.empty((count,), np.float32)
+    got = ctypes.c_int64()
+    sr = ctypes.c_int()
+    rc = lib.ocm_read_audio_range(
+        path.encode(), start, count,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(got), ctypes.byref(sr),
+    )
+    if rc != 0:
+        raise IOError(f"ocm_read_audio_range({path}) failed rc={rc}")
+    return out[: got.value].copy(), sr.value

@@ -56,3 +56,28 @@ def test_load_audio_prefers_native(wav_files, monkeypatch):
     ref, _ = wavmod.read_wav(paths[0])
     np.testing.assert_array_equal(wave, ref)
     assert sr == 16000
+
+
+def test_native_audio_range_wav_and_flac(tmp_path):
+    from occm_tpu.io import native
+    from occm_tpu.io.flac import write_flac
+
+    if not native.available():
+        import pytest
+        pytest.skip("native IO library not built")
+    import numpy as np
+    from occm_tpu.io.wav import write_wav
+
+    rng = np.random.default_rng(0)
+    wave = (0.2 * rng.normal(size=12000)).astype(np.float32)
+    wav_p = str(tmp_path / "a.wav")
+    flac_p = str(tmp_path / "a.flac")
+    write_wav(wav_p, wave, 16000)
+    write_flac(flac_p, wave, 16000)
+    for p, atol in [(wav_p, 2e-4), (flac_p, 2e-4)]:
+        got, sr = native.native_read_audio_range(p, 3000, 4000)
+        assert sr == 16000 and got.shape == (4000,)
+        np.testing.assert_allclose(got, wave[3000:7000], atol=atol)
+        # past-the-end is clipped, not an error
+        tail, _ = native.native_read_audio_range(p, 11000, 4000)
+        assert tail.shape == (1000,)
