@@ -91,8 +91,19 @@ class XLSRConfig:
     # remat policy: "nothing" (full recompute, min memory) or "dots"
     # (save matmul outputs — faster backward, more HBM)
     remat_policy: str = "nothing"
-    # tanh-approximate GELU (cheaper transcendentals; fairseq uses exact erf)
+    # tanh-approximate GELU in the transformer stack (cheaper
+    # transcendentals; fairseq uses exact erf)
     gelu_approximate: bool = False
+    # tanh-approximate GELU in the conv feature extractor + pos-conv.
+    # Separate knob because its validation gate differs: the conv cascade
+    # amplifies the tanh-vs-erf deviation enough to reroute AASIST's
+    # discontinuous top-k pooling (same-params loss moves ~4% at tiny
+    # scale), but the encoder features stay within 2% rel L2 with
+    # gradient cosine 1.00 and the training trajectory lands within the
+    # dropout-seed noise floor (tests/test_fast_numerics.py). Worth ~10%
+    # end-to-end on v5e (186.6 -> 205.4 utt/s): the erf transcendental
+    # runs over the [B,~12920,512] conv activations.
+    conv_gelu_approximate: bool = False
     # fairseq encoder_layerdrop: probability of skipping a transformer
     # layer per step during training
     layerdrop: float = 0.0

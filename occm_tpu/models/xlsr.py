@@ -85,7 +85,7 @@ class ConvFeatureExtractor(nn.Module):
                 h = nn.GroupNorm(
                     num_groups=dim, dtype=jnp.float32, name="gn_0"
                 )(h.astype(jnp.float32)).astype(dt)
-            h = jax.nn.gelu(h, approximate=False)
+            h = jax.nn.gelu(h, approximate=self.cfg.conv_gelu_approximate)
         return h
 
 
@@ -261,7 +261,7 @@ class XLSREncoder(nn.Module):
         )(feats)
         if cfg.conv_pos % 2 == 0:
             pos = pos[:, : feats.shape[1], :]
-        pos = jax.nn.gelu(pos, approximate=False)
+        pos = jax.nn.gelu(pos, approximate=cfg.conv_gelu_approximate)
         x = feats + pos
 
         if not cfg.layer_norm_first:

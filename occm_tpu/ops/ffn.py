@@ -126,23 +126,29 @@ def _ffn_bwd(approximate, interpret, res, g):
     dot = functools.partial(jax.lax.dot_general,
                             preferred_element_type=jnp.float32)
 
+    # keep every [M, F] intermediate in the compute dtype (bf16): fp32
+    # copies of pre/h/dpre cost ~1 GB of HBM traffic per layer and were
+    # measured to erase the fused-forward win end-to-end. Dots still
+    # accumulate fp32; the per-element GELU' math runs fp32 inside the
+    # fused elementwise pass.
     pre = (jnp.dot(x2d, w1, preferred_element_type=jnp.float32)
-           + b1.astype(jnp.float32))                       # [M, F]
+           + b1.astype(jnp.float32)).astype(dt)            # [M, F] bf16
     h, gelu_vjp = jax.vjp(
-        lambda p: jax.nn.gelu(p, approximate=approximate), pre
+        lambda p: jax.nn.gelu(p.astype(jnp.float32),
+                              approximate=approximate).astype(dt), pre
     )
     g_ = g.astype(dt)
     # dh = g @ w2^T : contract D of g [M,D] with D of w2 [F,D]
-    dh = dot(g_, w2, (((1,), (1,)), ((), ())))             # [M, F]
-    (dpre,) = gelu_vjp(dh)                                 # fp32 [M, F]
-    dpre_ = dpre.astype(dt)
+    dh = dot(g_, w2, (((1,), (1,)), ((), ()))).astype(dt)  # [M, F] bf16
+    (dpre,) = gelu_vjp(dh)                                 # [M, F] bf16
     # dx = dpre @ w1^T : contract F with F of w1 [D, F]
-    dx = dot(dpre_, w1, (((1,), (1,)), ((), ()))).astype(dt)   # [M, D]
+    dx = dot(dpre, w1, (((1,), (1,)), ((), ()))).astype(dt)    # [M, D]
     # dW1 = x^T @ dpre : contract M
-    dw1 = dot(x2d, dpre_, (((0,), (0,)), ((), ()))).astype(w1.dtype)
-    db1 = jnp.sum(dpre, axis=0, keepdims=True).astype(b1.dtype)
+    dw1 = dot(x2d, dpre, (((0,), (0,)), ((), ()))).astype(w1.dtype)
+    db1 = jnp.sum(dpre.astype(jnp.float32), axis=0,
+                  keepdims=True).astype(b1.dtype)
     # dW2 = h^T @ g : contract M
-    dw2 = dot(h.astype(dt), g_, (((0,), (0,)), ((), ()))).astype(w2.dtype)
+    dw2 = dot(h, g_, (((0,), (0,)), ((), ()))).astype(w2.dtype)
     db2 = jnp.sum(g.astype(jnp.float32), axis=0,
                   keepdims=True).astype(b2.dtype)
     return dx, dw1, db1, dw2, db2
