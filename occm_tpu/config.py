@@ -132,6 +132,15 @@ class XLSRConfig:
     # paths and kept parity-tested (tests/test_ops.py) until a fused
     # backward kernel lands. Checkpoint tree identical in both modes.
     ffn_impl: str = "xla"
+    # transformer LayerNorm implementation: "xla" (nn.LayerNorm at
+    # norm_dtype) or "pallas" (fp32 statistics, fused one-pass Pallas
+    # backward; occm_tpu/ops/layernorm.py). MEASURED DEAD END on this
+    # toolchain: the kernel is VPU-reduction-bound and Mosaic runs it at
+    # ~9 GB/s effective (24.7 ms vs 1.3 ms XLA for one [19296,1024] LN
+    # backward, even with a fully "parallel" grid) — Pallas only beats
+    # XLA here on MXU-dot kernels. Kept off-by-default, parity-tested
+    # (tests/test_ops.py), as the recorded experiment.
+    ln_impl: str = "xla"
 
     @staticmethod
     def tiny() -> "XLSRConfig":

@@ -110,6 +110,23 @@ class ProjParams(nn.Module):
         return kernel, bias
 
 
+class FastLayerNorm(nn.Module):
+    """Drop-in for nn.LayerNorm ({scale,bias} params, same init/eps) with
+    fp32 statistics and a fused Pallas backward (occm_tpu.ops.layernorm).
+    Output keeps the input dtype (the bf16 norm path)."""
+
+    epsilon: float = 1e-6  # flax nn.LayerNorm default, matches the oracle
+
+    @nn.compact
+    def __call__(self, x):
+        from occm_tpu.ops.layernorm import fast_layer_norm
+
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        return fast_layer_norm(x, scale, bias, self.epsilon)
+
+
 class SelfAttention(nn.Module):
     """Multi-head self-attention, fp32 softmax, bf16 matmuls."""
 
@@ -173,7 +190,13 @@ class TransformerLayer(nn.Module):
         train = self.train
         dt = _dtype(cfg)
         drop = lambda: nn.Dropout(cfg.dropout, deterministic=not train)
-        ln = lambda name: nn.LayerNorm(dtype=_norm_dtype(cfg), name=name)
+        if cfg.ln_impl == "pallas":
+            # fused-backward LayerNorm (fp32 stats, bf16 in/out) — same
+            # {scale,bias} checkpoint tree as nn.LayerNorm
+            ln = lambda name: FastLayerNorm(name=name)
+        else:
+            ln = lambda name: nn.LayerNorm(dtype=_norm_dtype(cfg),
+                                           name=name)
 
         residual = x
         h = ln("self_attn_layer_norm")(x) if cfg.layer_norm_first else x

@@ -114,3 +114,65 @@ class TestFusedFFN:
         b2 = jnp.zeros((16,), np.float32)
         y = fused_ffn(x, w1, b1, w2, b2)
         assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+
+class TestFastLayerNorm:
+    """fast_layer_norm (fused Pallas backward) vs flax nn.LayerNorm /
+    XLA autodiff. Kernel runs in interpret mode on CPU."""
+
+    def _inputs(self, m=300, d=1024, dtype=np.float32):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(3, m, d)) * 1.5 + 0.3, dtype)
+        gamma = jnp.asarray(1.0 + 0.1 * rng.normal(size=(d,)), np.float32)
+        beta = jnp.asarray(0.05 * rng.normal(size=(d,)), np.float32)
+        return x, gamma, beta
+
+    def test_forward_matches_flax(self):
+        import flax.linen as nn
+        import jax
+
+        from occm_tpu.ops.layernorm import fast_layer_norm
+
+        x, gamma, beta = self._inputs()
+        y = fast_layer_norm(x, gamma, beta, 1e-6, True)
+        ln = nn.LayerNorm(epsilon=1e-6)
+        ref = ln.apply({"params": {"scale": gamma, "bias": beta}}, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match_xla_autodiff(self):
+        import jax
+
+        from occm_tpu.ops.layernorm import _fwd_math, fast_layer_norm
+
+        x, gamma, beta = self._inputs(m=128)
+
+        def loss_fast(args):
+            x, g, b = args
+            return jnp.sum(fast_layer_norm(x, g, b, 1e-6, True) ** 2)
+
+        def loss_ref(args):
+            x, g, b = args
+            return jnp.sum(_fwd_math(x, g, b, 1e-6) ** 2)
+
+        gf = jax.grad(loss_fast)((x, gamma, beta))
+        gr = jax.grad(loss_ref)((x, gamma, beta))
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_small_dim_fallback_gradients(self):
+        import jax
+
+        from occm_tpu.ops.layernorm import _fwd_math, fast_layer_norm
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(4, 10, 48)), np.float32)
+        gamma = jnp.ones((48,), np.float32)
+        beta = jnp.zeros((48,), np.float32)
+        gf = jax.grad(lambda x: jnp.sum(
+            fast_layer_norm(x, gamma, beta, 1e-6, True) ** 2))(x)
+        gr = jax.grad(lambda x: jnp.sum(
+            _fwd_math(x, gamma, beta, 1e-6) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4)
