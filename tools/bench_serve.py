@@ -51,9 +51,17 @@ def main():
         model = AModel(AASISTConfig.tiny(), xlsr_cfg=XLSRConfig.tiny())
         cut = min(cut, 16000)
 
+    # shape-only init + zeros: jitting the real 300M init through the
+    # remote tunnel takes many minutes; latency numbers don't depend on
+    # the weight values
     rng = jax.random.PRNGKey(0)
-    init = jax.jit(lambda r, x: model.init({"params": r, "dropout": r}, x))
-    variables = init(rng, jnp.zeros((2, cut), jnp.float32))
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((2, cut), jnp.float32))
+    )
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes
+    )
     fn = make_score_fn(model, variables["params"],
                        variables.get("batch_stats", {}))
 
