@@ -87,3 +87,57 @@ def test_tp_sharded_forward_matches_replicated():
             lambda p, x: model.apply({"params": p}, x)
         )(params_sharded, wave_sharded)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_dp_sharded_train_step_matches_single_device():
+    """One full train step with the batch sharded over dp=8 must produce
+    the same loss and parameter update as the unsharded run — GSPMD's
+    gradient all-reduce is the DataParallel superset (SURVEY.md §2.3,
+    reference: oc_training.py:328)."""
+    import optax
+
+    from occm_tpu.config import (AASISTConfig, RawBoostConfig, TrainConfig)
+    from occm_tpu.models import AModel
+    from occm_tpu.train.loop import make_train_step
+    from occm_tpu.train.state import create_train_state
+
+    cut = 3200
+    g = 2  # 24 utterances -> 3 rows/device on dp=8
+    cfg = TrainConfig(
+        lr=1e-3, cut=cut, groups_per_step=g,
+        compactness_weight=0.1, descriptiveness_weight=0.9,
+        rawboost=RawBoostConfig(algo=0), mesh=MeshConfig(dp=8, tp=1),
+    )
+    model = AModel(AASISTConfig.tiny(), xlsr_cfg=XLSRConfig.tiny())
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((12 * g, cut), jnp.float32)
+
+    gen = np.random.default_rng(0)
+    x = jnp.asarray(gen.normal(size=(12 * g, cut)).astype(np.float32) * 0.1)
+    labels = jnp.asarray(np.tile(np.array([0] * 6 + [1] * 6, np.int32), g))
+    step = make_train_step(cfg, output_kind="dual")
+
+    # single-device reference
+    state_ref = create_train_state(model, rng, sample, optax.adam(cfg.lr))
+    state_ref, m_ref = step(state_ref, (x, labels), jax.random.PRNGKey(7))
+
+    # dp=8 sharded
+    mesh = make_mesh(cfg.mesh)
+    state_dp = create_train_state(model, rng, sample, optax.adam(cfg.lr))
+    params_repl = jax.tree_util.tree_map(
+        lambda p: jax.device_put(p, replicated(mesh)), state_dp.params
+    )
+    state_dp = state_dp.replace(params=params_repl)
+    with mesh:
+        batch = shard_batch((x, labels), mesh)
+        state_dp, m_dp = step(state_dp, batch, jax.random.PRNGKey(7))
+
+    assert float(m_dp["loss"]) == pytest.approx(float(m_ref["loss"]),
+                                                rel=1e-4)
+    leaf_ref = np.asarray(
+        jax.tree_util.tree_leaves(state_ref.params)[0], np.float32
+    )
+    leaf_dp = np.asarray(
+        jax.tree_util.tree_leaves(state_dp.params)[0], np.float32
+    )
+    np.testing.assert_allclose(leaf_dp, leaf_ref, rtol=1e-3, atol=1e-5)
