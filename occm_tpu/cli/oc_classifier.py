@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bucket_step", type=int, default=16000)
     parser.add_argument("--xlsr_tiny", action="store_true")
     parser.add_argument(
+        "--fast_numerics", action="store_true", default=False,
+        help="bf16 norms + tanh GELU scoring (same knobs as training's "
+             "--fast_numerics; encoder features within 2%% of the exact "
+             "path — validate EER impact on your eval set before "
+             "production use; default stays exact)")
+    parser.add_argument(
         "--allow_random_init", action="store_true",
         help="proceed with random weights if checkpoint restore fails "
              "(testing only — a real scoring run must hard-fail)",
@@ -64,6 +70,13 @@ def main(argv=None):
     from occm_tpu.models import AModel, SSLResNet34
 
     xlsr_cfg = XLSRConfig.tiny() if args.xlsr_tiny else XLSRConfig()
+    if args.fast_numerics:
+        import dataclasses
+
+        xlsr_cfg = dataclasses.replace(
+            xlsr_cfg, norm_dtype="bfloat16", gelu_approximate=True,
+            conv_gelu_approximate=True, bf16_param_mirror=True,
+        )
     separate = args.mode in ("1c1", "2c1")
     if separate:
         # separate (extractor, encoder) pair == ssl + se_resnet34 path

@@ -74,6 +74,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="orbax params dir from occm-convert-xlsr (xlsr2_300m); grafted "
              "into the SSL frontend before training",
     )
+    parser.add_argument(
+        "--fast_numerics", action="store_true", default=False,
+        help="bench-validated TPU-fast config: bf16 norms + tanh GELU "
+             "(transformer AND conv extractor), bf16 parameter mirror, "
+             "'attn_out' remat — +32%% measured on v5e, trajectory-"
+             "equivalent at tiny scale (tests/test_fast_numerics.py)")
+    parser.add_argument(
+        "--steps_per_dispatch", type=int, default=1,
+        help="scan k optimizer steps per device dispatch (amortises the "
+             "fixed dispatch cost; ragged tails are flushed)")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest epoch checkpoint")
     parser.add_argument("--debug_nans", action="store_true",
@@ -122,6 +132,7 @@ def main(argv=None):
         mesh=MeshConfig(dp=args.dp, tp=args.tp),
         checkpoint_dir=args.checkpoint_dir,
         wandb_project=args.wandb_project,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
 
     print("*************************************************")
@@ -149,6 +160,14 @@ def main(argv=None):
     )
 
     xlsr_cfg = XLSRConfig.tiny() if args.xlsr_tiny else XLSRConfig()
+    if args.fast_numerics:
+        import dataclasses
+
+        xlsr_cfg = dataclasses.replace(
+            xlsr_cfg, norm_dtype="bfloat16", gelu_approximate=True,
+            conv_gelu_approximate=True, bf16_param_mirror=True,
+            remat_policy="attn_out",
+        )
     model, output_kind = make_model(args.model, xlsr_cfg)
 
     prefix = cfg.checkpoint_prefix  # reference naming: aasist_vocoded_{e}

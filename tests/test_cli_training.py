@@ -53,6 +53,10 @@ def test_oc_training_cli_end_to_end(tmp_path, monkeypatch):
             "--compactness_weight", "0.1",
             "--descriptiveness_weight", "0.9",
             "--checkpoint_dir", str(tmp_path),
+            # bench-validated fast numerics + multi-step dispatch with a
+            # ragged tail (4 step-batches, k=3 -> one chunk + one single)
+            "--fast_numerics",
+            "--steps_per_dispatch", "3",
         ]
     )
     # per-epoch checkpoint with the reference naming scheme
