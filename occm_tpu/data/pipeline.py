@@ -19,12 +19,17 @@ from occm_tpu.data.datasets import PFDataset
 
 
 class Prefetcher:
-    """Wrap any iterator with a depth-N background prefetch thread."""
+    """Wrap any iterator with a depth-N background prefetch thread.
+
+    Exceptions raised by the wrapped iterator (e.g. a failed decode) are
+    captured and re-raised in the consumer — a worker crash must fail the
+    epoch loudly, never truncate it silently."""
 
     def __init__(self, it: Iterator, depth: int = 2):
         self._it = it
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -32,6 +37,8 @@ class Prefetcher:
         try:
             for item in self._it:
                 self._q.put(item)
+        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+            self._error = e
         finally:
             self._q.put(self._done)
 
@@ -41,6 +48,8 @@ class Prefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._done:
+            if self._error is not None:
+                raise self._error
             raise StopIteration
         return item
 

@@ -280,3 +280,30 @@ def test_pipeline_host_sharding_partitions_epoch(fixture_tree):
     # disjoint and jointly covering the full epoch's batches
     assert set(k0).isdisjoint(k1)
     assert set(k0) | set(k1) == set(k_full)
+
+
+def test_native_pipeline_tail_and_missing_file(fixture_tree):
+    """drop_remainder=False exercises the native tail decode; a missing
+    audio file surfaces as an IOError, not silent garbage."""
+    from occm_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native IO library not built")
+    ds = PFDataset(
+        str(fixture_tree / "train.txt"), str(fixture_tree / "train"),
+        vocoded_dir=str(fixture_tree / "vocoded"), cut=CUT,
+    )
+    pipe = MetaBatchPipeline(ds, groups_per_step=3, shuffle=False,
+                             drop_remainder=False)
+    assert pipe._native
+    batches = list(pipe.epoch(0))
+    # 8 meta-batches, groups=3 -> 2 chunks of 36 + tail of 24
+    assert [b[0].shape[0] for b in batches] == [36, 36, 24]
+
+    bad = PFDataset(
+        str(fixture_tree / "train.txt"), str(fixture_tree / "missing"),
+        vocoded_dir=str(fixture_tree / "vocoded"), cut=CUT,
+    )
+    bad_pipe = MetaBatchPipeline(bad, groups_per_step=1)
+    with pytest.raises(IOError):
+        list(bad_pipe.epoch(0))

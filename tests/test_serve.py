@@ -112,3 +112,32 @@ def test_batching_queue_close_rejects_new_submits():
 
     with _pytest.raises(RuntimeError):
         q.submit(np.zeros(100, np.float32))
+
+
+def test_batching_queue_propagates_service_errors():
+    """A failing device call must reject the waiting futures, not hang
+    the queue, and later requests still work."""
+    from occm_tpu.serve import BatchingQueue
+
+    class FlakyService:
+        batch = 4
+
+        def __init__(self):
+            self.calls = 0
+
+        def score(self, waves):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("boom")
+            return np.arange(len(waves), dtype=np.float64), \
+                np.zeros(len(waves), np.int32)
+
+    svc = FlakyService()
+    with BatchingQueue(svc, max_wait_ms=50.0) as q:
+        f1 = q.submit(np.zeros(10, np.float32))
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="boom"):
+            f1.result(timeout=30)
+        s, p = q.score_sync(np.zeros(10, np.float32), timeout=30)
+        assert (s, p) == (0.0, 0)
