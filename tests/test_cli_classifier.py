@@ -94,6 +94,9 @@ def test_oc_classifier_cli_end_to_end(tmp_path, monkeypatch):
             "--batch_size", "2",
             "--bucket_step", "3200",
             "--xlsr_tiny",
+            # scoring-side fast numerics (bf16 norms + tanh GELU): same
+            # checkpoint loads, scores stay finite
+            "--fast_numerics",
         ]
     )
     assert len(read_comma_scores(score_file2)) == 4
