@@ -84,6 +84,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--steps_per_dispatch", type=int, default=1,
         help="scan k optimizer steps per device dispatch (amortises the "
              "fixed dispatch cost; ragged tails are flushed)")
+    parser.add_argument(
+        "--feature_grad_mult", type=float, default=1.0,
+        help="scale (0 stops) the gradient into the conv feature "
+             "extractor — fairseq's GradMultiply fine-tune knob. 0 is "
+             "the fairseq-style frozen-extractor fine-tune (skips the "
+             "conv backward entirely; measured 225.8 utt/s vs 207.1 on "
+             "v5e). Default 1.0 matches the reference's end-to-end "
+             "fine-tune semantics")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest epoch checkpoint")
     parser.add_argument("--debug_nans", action="store_true",
@@ -161,12 +169,14 @@ def main(argv=None):
 
     xlsr_cfg = XLSRConfig.tiny() if args.xlsr_tiny else XLSRConfig()
     if args.fast_numerics:
-        import dataclasses
-
         xlsr_cfg = dataclasses.replace(
             xlsr_cfg, norm_dtype="bfloat16", gelu_approximate=True,
             conv_gelu_approximate=True, bf16_param_mirror=True,
             remat_policy="attn_out",
+        )
+    if args.feature_grad_mult != 1.0:
+        xlsr_cfg = dataclasses.replace(
+            xlsr_cfg, feature_grad_mult=args.feature_grad_mult
         )
     model, output_kind = make_model(args.model, xlsr_cfg)
 

@@ -25,6 +25,7 @@ are ignored — the reference runs features_only=True with mask=False
 
 from __future__ import annotations
 
+import re
 from typing import Dict, Mapping
 
 import numpy as np
@@ -150,14 +151,95 @@ def convert_fairseq_state_dict(sd: Mapping[str, "np.ndarray"],
     return p
 
 
+_HF_RENAMES = (
+    # HuggingFace transformers Wav2Vec2Model naming -> fairseq naming.
+    # (HF's checkpoints were themselves converted from fairseq, so the
+    # mapping is a pure rename; weight layouts are identical.)
+    (".conv.parametrizations.weight.original0", ".0.weight_g"),
+    (".conv.parametrizations.weight.original1", ".0.weight_v"),
+    (".conv.weight_g", ".0.weight_g"),
+    (".conv.weight_v", ".0.weight_v"),
+    ("encoder.pos_conv_embed", "encoder.pos_conv"),
+    ("feature_projection.layer_norm", "layer_norm"),
+    ("feature_projection.projection", "post_extract_proj"),
+    (".attention.", ".self_attn."),
+    (".feed_forward.intermediate_dense", ".fc1"),
+    (".feed_forward.output_dense", ".fc2"),
+)
+
+_HF_IGNORED = (
+    "masked_spec_embed", "quantizer", "project_q", "project_hid", "adapter",
+    "lm_head",
+)
+
+
+def hf_to_fairseq_names(sd: Mapping[str, "np.ndarray"],
+                        cfg: XLSRConfig) -> Dict:
+    """Rename a HuggingFace `transformers.Wav2Vec2Model` state dict into
+    fairseq wav2vec2 naming, so `convert_fairseq_state_dict` applies
+    unchanged. Supports plain `Wav2Vec2Model` and wrapped heads
+    (`Wav2Vec2ForCTC` etc. — keys prefixed `wav2vec2.`)."""
+    out: Dict = {}
+    for k, v in sd.items():
+        if k.startswith("wav2vec2."):
+            k = k[len("wav2vec2."):]
+        if any(tok in k for tok in _HF_IGNORED):
+            continue
+        if k.startswith("feature_extractor.conv_layers."):
+            # HF: .conv.{weight,bias} / .layer_norm.{weight,bias}
+            # fairseq: .0.{weight,bias} / .2.1.* (layer_norm mode)
+            #          or .2.* (group-norm on block 0, default mode)
+            k = k.replace(".conv.", ".0.")
+            ln_target = ".2.1." if cfg.extractor_mode == "layer_norm" else ".2."
+            k = k.replace(".layer_norm.", ln_target)
+        else:
+            for old, new in _HF_RENAMES:
+                k = k.replace(old, new)
+            # HF calls the pre-attention LN `layers.{l}.layer_norm`
+            # (fairseq: self_attn_layer_norm); the top-level
+            # `encoder.layer_norm` must stay untouched
+            k = re.sub(r"(\.layers\.\d+)\.layer_norm\.",
+                       r"\1.self_attn_layer_norm.", k)
+        # pos_conv bias: HF `encoder.pos_conv_embed.conv.bias` became
+        # `encoder.pos_conv.conv.bias` above; fairseq calls it pos_conv.0.bias
+        k = k.replace("encoder.pos_conv.conv.", "encoder.pos_conv.0.")
+        out[k] = v
+    return out
+
+
+def convert_hf_state_dict(sd: Mapping[str, "np.ndarray"],
+                          cfg: XLSRConfig) -> Dict:
+    """Convert a HuggingFace Wav2Vec2Model state dict into the XLSREncoder
+    params pytree (independent oracle path — same target tree as the
+    fairseq converter)."""
+    return convert_fairseq_state_dict(hf_to_fairseq_names(sd, cfg), cfg)
+
+
+def detect_format(sd: Mapping[str, "np.ndarray"]) -> str:
+    """'hf' if the state dict uses transformers naming, else 'fairseq'."""
+    for k in sd:
+        if "feature_projection." in k or k.startswith("wav2vec2."):
+            return "hf"
+    return "fairseq"
+
+
 def convert_checkpoint_file(pt_path: str, out_path: str,
-                            cfg: XLSRConfig = XLSRConfig()) -> None:
-    """CLI core: load a fairseq .pt with torch, convert, save with orbax."""
+                            cfg: XLSRConfig = XLSRConfig(),
+                            fmt: str = "auto") -> None:
+    """CLI core: load a fairseq or HF .pt with torch, convert, save with
+    orbax."""
     import torch
 
     state = torch.load(pt_path, map_location="cpu", weights_only=False)
     sd = state.get("model", state)
-    params = convert_fairseq_state_dict(sd, cfg)
+    if hasattr(sd, "state_dict"):  # a pickled nn.Module
+        sd = sd.state_dict()
+    if fmt == "auto":
+        fmt = detect_format(sd)
+    if fmt == "hf":
+        params = convert_hf_state_dict(sd, cfg)
+    else:
+        params = convert_fairseq_state_dict(sd, cfg)
 
     from occm_tpu.train.checkpoint import save_params
 
@@ -168,12 +250,15 @@ def main(argv=None):  # pragma: no cover - thin CLI
     import argparse
 
     ap = argparse.ArgumentParser(
-        description="Convert fairseq xlsr2_300m.pt to occm_tpu params"
+        description="Convert a fairseq (xlsr2_300m.pt) or HuggingFace "
+        "(wav2vec2-xls-r-300m) wav2vec2 checkpoint to occm_tpu params"
     )
     ap.add_argument("pt_path")
     ap.add_argument("out_path")
+    ap.add_argument("--format", choices=("auto", "fairseq", "hf"),
+                    default="auto", dest="fmt")
     args = ap.parse_args(argv)
-    convert_checkpoint_file(args.pt_path, args.out_path)
+    convert_checkpoint_file(args.pt_path, args.out_path, fmt=args.fmt)
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -78,12 +78,13 @@ class ConvFeatureExtractor(nn.Module):
             )(h)
             if self.cfg.extractor_mode == "layer_norm":
                 ndt = _norm_dtype(self.cfg)
-                h = nn.LayerNorm(dtype=ndt, name=f"ln_{i}")(
+                h = nn.LayerNorm(dtype=ndt, epsilon=1e-5, name=f"ln_{i}")(
                     h.astype(ndt)
                 ).astype(dt)
             elif i == 0:
                 h = nn.GroupNorm(
-                    num_groups=dim, dtype=jnp.float32, name="gn_0"
+                    num_groups=dim, dtype=jnp.float32, epsilon=1e-5,
+                    name="gn_0",
                 )(h.astype(jnp.float32)).astype(dt)
             h = jax.nn.gelu(h, approximate=self.cfg.conv_gelu_approximate)
         return h
@@ -115,7 +116,7 @@ class FastLayerNorm(nn.Module):
     fp32 statistics and a fused Pallas backward (occm_tpu.ops.layernorm).
     Output keeps the input dtype (the bf16 norm path)."""
 
-    epsilon: float = 1e-6  # flax nn.LayerNorm default, matches the oracle
+    epsilon: float = 1e-5  # torch.nn.LayerNorm default (fairseq wav2vec2)
 
     @nn.compact
     def __call__(self, x):
@@ -196,7 +197,7 @@ class TransformerLayer(nn.Module):
             ln = lambda name: FastLayerNorm(name=name)
         else:
             ln = lambda name: nn.LayerNorm(dtype=_norm_dtype(cfg),
-                                           name=name)
+                                           epsilon=1e-5, name=name)
 
         residual = x
         h = ln("self_attn_layer_norm")(x) if cfg.layer_norm_first else x
@@ -265,7 +266,8 @@ class XLSREncoder(nn.Module):
             feats = grad_multiply(feats, cfg.feature_grad_mult)
         conv_dim = cfg.conv_layers[-1][0]
 
-        feats = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(
+        feats = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
+                             name="layer_norm")(
             feats.astype(jnp.float32)
         ).astype(dt)
         if conv_dim != cfg.encoder_embed_dim:
@@ -288,7 +290,8 @@ class XLSREncoder(nn.Module):
         x = feats + pos
 
         if not cfg.layer_norm_first:
-            x = nn.LayerNorm(dtype=jnp.float32, name="encoder_layer_norm")(
+            x = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
+                             name="encoder_layer_norm")(
                 x.astype(jnp.float32)
             ).astype(dt)
 
@@ -348,7 +351,8 @@ class XLSREncoder(nn.Module):
         x, _ = stack(x, None)
 
         if cfg.layer_norm_first:
-            x = nn.LayerNorm(dtype=jnp.float32, name="encoder_layer_norm")(
+            x = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
+                             name="encoder_layer_norm")(
                 x.astype(jnp.float32)
             )
         return x.astype(jnp.float32)

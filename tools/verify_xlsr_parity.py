@@ -1,6 +1,8 @@
 """Verify XLSR checkpoint-conversion parity against a torch oracle.
 
-Usage (when the real fairseq checkpoint is available):
+Usage (when the real checkpoint is available — fairseq `xlsr2_300m.pt`
+or a torch-saved HuggingFace `wav2vec2-xls-r-300m` state dict, format
+auto-detected):
 
     python tools/verify_xlsr_parity.py /path/to/xlsr2_300m.pt [seconds]
 
@@ -137,10 +139,19 @@ def main():  # pragma: no cover - needs the real checkpoint
 
     state = torch.load(pt_path, map_location="cpu", weights_only=False)
     sd = state.get("model", state)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
 
     cfg = dataclasses.replace(
         XLSRConfig(), dtype="float32", remat=False
     )
+    from occm_tpu.models.convert_xlsr import detect_format, hf_to_fairseq_names
+
+    if detect_format(sd) == "hf":
+        # HuggingFace wav2vec2-xls-r-300m layout: rename to fairseq keys,
+        # then the oracle + converter run unchanged
+        print("detected HuggingFace state-dict naming")
+        sd = hf_to_fairseq_names(sd, cfg)
     params = convert_fairseq_state_dict(sd, cfg)
 
     rng = np.random.default_rng(0)
