@@ -1,0 +1,180 @@
+"""HTTP scoring front-end over the one-class serving stack.
+
+The reference has no serving story at all (scoring is a batch=1 offline
+eval loop, reference: oc_classifier.py:243-265). This module puts a
+network API in front of `ScoringService`/`BatchingQueue` (occm_tpu.serve):
+concurrent requests are decoded host-side (first-party WAV/FLAC decoders,
+occm_tpu.io), dynamically batched, and scored in real device batches on
+the MXU.
+
+Endpoints:
+  GET  /healthz  -> {"status": "ok", "requests": N, "scored": N}
+  POST /score    -> {"score": d, "prediction": 0|1, "label": ...}
+      body: WAV bytes ("RIFF"), FLAC bytes ("fLaC"), or raw little-endian
+      float32 mono PCM (anything else; sample rate via X-Sample-Rate
+      header, default 16000). Audio at other rates is resampled to 16 kHz
+      (librosa.load semantics, like the reference's loader).
+
+Stdlib-only (ThreadingHTTPServer): no web-framework dependency; each
+connection runs on its own thread and blocks in BatchingQueue.score_sync
+while the batcher groups concurrent utterances into one device call.
+
+Usage:
+    server = ScoringHTTPServer(batcher)       # BatchingQueue
+    server.start()                            # serves on server.port
+    ...
+    server.shutdown()
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple
+
+import numpy as np
+
+from occm_tpu.io.flac import decode_flac
+from occm_tpu.io.wav import _parse_wav, resample
+
+TARGET_SR = 16000
+MAX_BODY_BYTES = 64 * 1024 * 1024  # 64 MB ~ 35 min of 16-bit 16 kHz audio
+
+
+def decode_request_audio(body: bytes, sample_rate_header: Optional[str]
+                         ) -> np.ndarray:
+    """Bytes -> float32 mono wave at 16 kHz. Container detected by magic
+    bytes; bare bodies are raw little-endian float32 PCM."""
+    if body[:4] == b"RIFF":
+        wave, sr = _parse_wav(body)
+    elif body[:4] == b"fLaC":
+        samples, sr, bps = decode_flac(body)
+        wave = samples.astype(np.float32) / float(1 << (bps - 1))
+        wave = wave.mean(axis=1) if wave.shape[1] > 1 else wave[:, 0]
+    else:
+        if len(body) % 4:
+            raise ValueError(
+                "raw PCM body length not a multiple of 4 (float32)"
+            )
+        wave = np.frombuffer(body, dtype="<f4").astype(np.float32)
+        sr = int(sample_rate_header) if sample_rate_header else TARGET_SR
+    if len(wave) == 0:
+        raise ValueError("empty audio")
+    return resample(np.ascontiguousarray(wave), sr, TARGET_SR)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set by ScoringHTTPServer subclassing
+    server_ref: "ScoringHTTPServer"
+
+    def _json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if self.server_ref.verbose:
+            super().log_message(fmt, *args)
+
+    def do_GET(self):
+        if self.path in ("/healthz", "/health"):
+            s = self.server_ref
+            self._json(200, {"status": "ok", "requests": s.requests,
+                             "scored": s.scored})
+        else:
+            self._json(404, {"error": f"no such path {self.path}"})
+
+    def do_POST(self):
+        s = self.server_ref
+        s.requests += 1
+        if self.path != "/score":
+            self._json(404, {"error": f"no such path {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            self._json(400, {"error": "bad Content-Length"})
+            return
+        if length <= 0:
+            self._json(400, {"error": "empty body"})
+            return
+        if length > MAX_BODY_BYTES:
+            self._json(413, {"error": "body too large"})
+            return
+        body = self.rfile.read(length)
+        try:
+            wave = decode_request_audio(
+                body, self.headers.get("X-Sample-Rate")
+            )
+        except Exception as e:
+            self._json(400, {"error": f"undecodable audio: {e}"})
+            return
+        try:
+            score, pred = s.batcher.score_sync(wave, timeout=s.timeout_s)
+        except Exception as e:
+            self._json(500, {"error": f"scoring failed: {e}"})
+            return
+        s.scored += 1
+        # decision-rule parity: distance > threshold -> 1 (spoof); the
+        # PFDataset label convention is bona=0/spoof=1
+        # (reference: oc_classifier.py:262, oc_training.py:225)
+        self._json(200, {
+            "score": score,
+            "prediction": pred,
+            "label": "spoof" if pred else "bonafide",
+        })
+
+
+class ScoringHTTPServer:
+    """Threaded HTTP server wrapping a BatchingQueue (or any object with
+    `score_sync(wave, timeout) -> (score, pred)`).
+
+    port=0 binds an ephemeral port (read `.port` after construction)."""
+
+    def __init__(self, batcher, host: str = "127.0.0.1", port: int = 0,
+                 timeout_s: float = 60.0, verbose: bool = False):
+        self.batcher = batcher
+        self.timeout_s = timeout_s
+        self.verbose = verbose
+        self.requests = 0
+        self.scored = 0
+
+        outer = self
+
+        class BoundHandler(_Handler):
+            server_ref = outer
+
+        self._httpd = ThreadingHTTPServer((host, port), BoundHandler)
+        self._httpd.daemon_threads = True
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self) -> Tuple[str, int]:
+        return self._httpd.server_address[:2]
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "ScoringHTTPServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join()
+
+    def __enter__(self) -> "ScoringHTTPServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.shutdown()
