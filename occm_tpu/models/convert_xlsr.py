@@ -70,8 +70,11 @@ def convert_fairseq_state_dict(sd: Mapping[str, "np.ndarray"],
         conv_w = sd[f"feature_extractor.conv_layers.{i}.0.weight"]
         layer = {"kernel": conv_w.transpose(2, 1, 0)}  # [out,in,k]->[k,in,out]
         b = sd.get(f"feature_extractor.conv_layers.{i}.0.bias")
-        if b is not None:
-            layer["bias"] = b
+        # bias-free checkpoints (conv_bias=False, e.g. wav2vec2-base) fill
+        # zeros: the Flax conv always declares a bias parameter
+        layer["bias"] = b if b is not None else np.zeros(
+            conv_w.shape[0], np.float32
+        )
         fe[f"conv_{i}"] = layer
         if cfg.extractor_mode == "layer_norm":
             fe[f"ln_{i}"] = {
@@ -257,8 +260,12 @@ def main(argv=None):  # pragma: no cover - thin CLI
     ap.add_argument("out_path")
     ap.add_argument("--format", choices=("auto", "fairseq", "hf"),
                     default="auto", dest="fmt")
+    ap.add_argument("--tiny", action="store_true",
+                    help="convert against XLSRConfig.tiny() (test ckpts)")
     args = ap.parse_args(argv)
-    convert_checkpoint_file(args.pt_path, args.out_path, fmt=args.fmt)
+    cfg = XLSRConfig.tiny() if args.tiny else XLSRConfig()
+    convert_checkpoint_file(args.pt_path, args.out_path, cfg=cfg,
+                            fmt=args.fmt)
 
 
 if __name__ == "__main__":  # pragma: no cover

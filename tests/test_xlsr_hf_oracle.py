@@ -31,12 +31,14 @@ transformers = pytest.importorskip("transformers")
 
 
 def _hf_config(cfg: XLSRConfig):
-    """Build the transformers Wav2Vec2Config equivalent of an XLSRConfig
-    (layer_norm extractor mode + pre-norm encoder = XLS-R layout:
-    feat_extract_norm='layer_norm', do_stable_layer_norm=True)."""
+    """Build the transformers Wav2Vec2Config equivalent of an XLSRConfig.
+    XLS-R layout = layer_norm extractor + pre-norm encoder
+    (feat_extract_norm='layer', do_stable_layer_norm=True); the base
+    wav2vec2 layout = group-norm extractor + post-norm encoder."""
     dims = tuple(d for d, _, _ in cfg.conv_layers)
     kernels = tuple(k for _, k, _ in cfg.conv_layers)
     strides = tuple(s for _, _, s in cfg.conv_layers)
+    layer_norm_mode = cfg.extractor_mode == "layer_norm"
     return transformers.Wav2Vec2Config(
         vocab_size=4,
         hidden_size=cfg.encoder_embed_dim,
@@ -47,9 +49,9 @@ def _hf_config(cfg: XLSRConfig):
         conv_kernel=kernels,
         conv_stride=strides,
         num_feat_extract_layers=len(dims),
-        conv_bias=True,
-        feat_extract_norm="layer",
-        do_stable_layer_norm=True,
+        conv_bias=layer_norm_mode,
+        feat_extract_norm="layer" if layer_norm_mode else "group",
+        do_stable_layer_norm=cfg.layer_norm_first,
         num_conv_pos_embeddings=cfg.conv_pos,
         num_conv_pos_embedding_groups=cfg.conv_pos_groups,
         hidden_act="gelu",
@@ -97,6 +99,22 @@ def test_hf_oracle_real_dims():
     wave = (rng.normal(size=(1, 16000)) * 0.1).astype(np.float32)
     # random-init 300M params accumulate more fp error over 24 layers
     _run_parity(cfg, wave, atol=5e-3)
+
+
+def test_hf_oracle_base_layout_tiny():
+    """The base wav2vec2 layout — group-norm extractor (conv_bias=False)
+    + post-norm encoder (do_stable_layer_norm=False) — against the HF
+    oracle. This exercises the `extractor_mode='default'` and
+    `layer_norm_first=False` branches, which the XLS-R tests never touch,
+    and proves the converter on wav2vec2-base-style checkpoints."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        XLSRConfig.tiny(), extractor_mode="default", layer_norm_first=False
+    )
+    rng = np.random.default_rng(4)
+    wave = (rng.normal(size=(2, 3200)) * 0.1).astype(np.float32)
+    _run_parity(cfg, wave, atol=2e-4)
 
 
 def test_hf_oracle_input_gradient_tiny():
