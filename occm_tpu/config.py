@@ -143,6 +143,25 @@ class XLSRConfig:
     ln_impl: str = "xla"
 
     @staticmethod
+    def base() -> "XLSRConfig":
+        """wav2vec2-base layout: group-norm extractor (bias-free convs in
+        the checkpoint; converted biases are zero), post-norm encoder,
+        12 layers / 768 dim / 8 heads. The converter + encoder are
+        oracle-tested in this layout against transformers.Wav2Vec2Model
+        (tests/test_xlsr_hf_oracle.py::test_hf_oracle_base_layout_tiny),
+        so base-family checkpoints are a supported frontend alternative
+        to the reference's fixed XLS-R 300M (reference: models/xlsr.py:29)."""
+        return XLSRConfig(
+            extractor_mode="default",
+            layer_norm_first=False,
+            encoder_layers=12,
+            encoder_embed_dim=768,
+            encoder_ffn_dim=3072,
+            encoder_heads=12,
+            out_dim=768,
+        )
+
+    @staticmethod
     def tiny() -> "XLSRConfig":
         """Small config for CPU tests."""
         return XLSRConfig(

@@ -211,7 +211,9 @@ class TransformerLayer(nn.Module):
         h = drop()(h)
         x = residual + h
         if not cfg.layer_norm_first:
-            x = ln("self_attn_layer_norm")(x)
+            # post-norm: cast back to the compute dtype so the scan carry
+            # dtype is stable (the LN itself runs at norm_dtype)
+            x = ln("self_attn_layer_norm")(x).astype(dt)
 
         residual = x
         h = ln("final_layer_norm")(x) if cfg.layer_norm_first else x
@@ -235,7 +237,7 @@ class TransformerLayer(nn.Module):
         h = drop()(h)
         x = residual + h
         if not cfg.layer_norm_first:
-            x = ln("final_layer_norm")(x)
+            x = ln("final_layer_norm")(x).astype(dt)
         return x
 
 

@@ -117,6 +117,47 @@ def test_hf_oracle_base_layout_tiny():
     _run_parity(cfg, wave, atol=2e-4)
 
 
+def test_base_preset_consistent():
+    """XLSRConfig.base() matches the HF wav2vec2-base architecture
+    constants (the layout test above proves the math at tiny dims)."""
+    cfg = XLSRConfig.base()
+    hf_cfg = transformers.Wav2Vec2Config()  # defaults ARE wav2vec2-base
+    assert cfg.encoder_embed_dim == hf_cfg.hidden_size
+    assert cfg.encoder_layers == hf_cfg.num_hidden_layers
+    assert cfg.encoder_heads == hf_cfg.num_attention_heads
+    assert cfg.encoder_ffn_dim == hf_cfg.intermediate_size
+    assert cfg.extractor_mode == "default"          # group-norm block 0
+    assert hf_cfg.feat_extract_norm == "group"
+    assert cfg.layer_norm_first is hf_cfg.do_stable_layer_norm is False
+    assert tuple(d for d, _, _ in cfg.conv_layers) == tuple(hf_cfg.conv_dim)
+    assert tuple(k for _, k, _ in cfg.conv_layers) == tuple(hf_cfg.conv_kernel)
+    assert tuple(s for _, _, s in cfg.conv_layers) == tuple(hf_cfg.conv_stride)
+    assert cfg.conv_pos == hf_cfg.num_conv_pos_embeddings
+    assert cfg.conv_pos_groups == hf_cfg.num_conv_pos_embedding_groups
+
+
+def test_base_preset_traces_in_bf16():
+    """Regression: the post-norm branch must cast the fp32 LayerNorm
+    output back to the bf16 compute dtype or the scan carry dtypes
+    mismatch (caught tracing XLSRConfig.base(), whose default dtype is
+    bfloat16 — the fp32 tiny tests never hit it). eval_shape-only: no
+    FLOPs."""
+    import jax
+
+    cfg = XLSRConfig.base()
+    m = __import__("occm_tpu.models", fromlist=["XLSREncoder"]).XLSREncoder(cfg)
+    shapes = jax.eval_shape(
+        lambda r: m.init({"params": r, "dropout": r},
+                         jnp.zeros((1, 16000))),
+        __import__("jax").random.PRNGKey(0),
+    )
+    out = jax.eval_shape(
+        lambda p, x: m.apply(p, x), shapes,
+        jax.ShapeDtypeStruct((2, 16000), jnp.float32),
+    )
+    assert out.shape == (2, 49, 768)
+
+
 def test_hf_oracle_input_gradient_tiny():
     """Backward-pass parity against the HF torch implementation: the
     gradient of a fixed scalar readout w.r.t. the input waveform must
