@@ -67,7 +67,7 @@ class MetaBatchPipeline:
         groups_per_step: int = 1,
         shuffle: bool = True,
         seed: int = 0,
-        drop_remainder: bool = True,
+        drop_remainder: bool = False,
         prefetch_depth: int = 2,
         decode_threads: int = 8,
         shard_index: Optional[int] = None,
@@ -77,6 +77,10 @@ class MetaBatchPipeline:
         self.groups = groups_per_step
         self.shuffle = shuffle
         self.seed = seed
+        # False by default: the reference sees every meta-batch every epoch
+        # (batch_size=1, reference: oc_training.py:313,363). A ragged tail
+        # group is yielded at its natural (smaller) size; the train loop
+        # flushes it through the single-step path.
         self.drop_remainder = drop_remainder
         self.prefetch_depth = prefetch_depth
         self.decode_threads = decode_threads
@@ -105,9 +109,11 @@ class MetaBatchPipeline:
         )
 
     def _shard_len(self) -> int:
-        n = len(self.dataset)
-        return (n - self.shard_index + self.shard_count - 1) \
-            // self.shard_count
+        # Epoch order is truncated to a multiple of shard_count before the
+        # strided slice so every host sees the SAME number of items: with
+        # unequal shards each host would run a different step count per
+        # epoch and multi-host SPMD collectives would deadlock.
+        return len(self.dataset) // self.shard_count
 
     def steps_per_epoch(self) -> int:
         n = self._shard_len() // self.groups
@@ -120,7 +126,8 @@ class MetaBatchPipeline:
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
         if self.shard_count > 1:
-            order = order[self.shard_index::self.shard_count]
+            usable = (len(order) // self.shard_count) * self.shard_count
+            order = order[:usable][self.shard_index::self.shard_count]
         self.dataset.reseed(self.seed * 1_000_003 + epoch)
         if self._native:
             yield from self._native_epoch_iter(order)

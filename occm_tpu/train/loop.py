@@ -30,7 +30,7 @@ import optax
 from occm_tpu.augment import batch_rawboost
 from occm_tpu.config import TrainConfig
 from occm_tpu.losses import compactness_loss, descriptiveness_loss
-from occm_tpu.parallel import make_mesh, param_shardings, replicated, shard_batch
+from occm_tpu.parallel import make_mesh, place_state_on_mesh, shard_batch
 from occm_tpu.train.state import TrainState, create_train_state
 from occm_tpu.utils.logging import MetricsLogger
 
@@ -222,21 +222,9 @@ def train(
             start_epoch = last + 1
             logger.log_jsonl(event="resume", epoch=start_epoch)
 
-    # place params/opt state on the mesh (replicated or TP-sharded)
-    shardings = param_shardings(state.params, mesh)
-    state = state.replace(
-        step=jax.device_put(state.step, replicated(mesh)),
-        params=jax.tree_util.tree_map(jax.device_put, state.params,
-                                      shardings),
-        batch_stats=jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, replicated(mesh)), state.batch_stats
-        ),
-        opt_state=jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, replicated(mesh))
-            if hasattr(x, "shape") else x,
-            state.opt_state,
-        ),
-    )
+    # place params/opt state on the mesh (TP-sharded or replicated; Adam
+    # moments inherit the param shardings — parallel/sharding.py)
+    state = place_state_on_mesh(state, mesh)
 
     k_dispatch = max(1, cfg.steps_per_dispatch)
     single_step_fn = make_train_step(
@@ -260,8 +248,14 @@ def train(
             return
         import numpy as np
 
+        full = cfg.groups_per_step * cfg.meta_batch
         xs, ls = [], []
         for x, labels in pipeline.epoch(epoch):
+            if x.shape[0] != full:
+                # ragged pipeline tail (drop_remainder=False): smaller batch
+                # can't join a fixed-shape chunk — flush it standalone
+                yield "single", np.asarray(x), np.asarray(labels, np.int32)
+                continue
             xs.append(np.asarray(x))
             ls.append(np.asarray(labels, np.int32))
             if len(xs) == k_dispatch:
@@ -279,12 +273,21 @@ def train(
         from jax.sharding import PartitionSpec as P
 
         chunk_sh = NamedSharding(mesh, P(None, "dp"))
+        dp_size = mesh.shape.get("dp", 1)
         pending_item = None
         for kind, x, labels in _batches(epoch):
             if kind == "chunk":
                 # chunked [k, B, T]: batch axis (dp) is axis 1
                 item = kind, (jax.device_put(x, chunk_sh),
                               jax.device_put(labels, chunk_sh))
+            elif x.shape[0] % dp_size:
+                # ragged tail smaller than the dp axis: replicate instead of
+                # shard — every device computes the same gradients, the
+                # all-reduce mean is unchanged, and no meta-batch is dropped
+                item = kind, jax.tree_util.tree_map(
+                    lambda a: jax.device_put(a, NamedSharding(mesh, P())),
+                    (x, labels),
+                )
             else:
                 item = kind, shard_batch((x, labels), mesh)
             if pending_item is not None:
@@ -297,31 +300,40 @@ def train(
     with mesh:
         for epoch in range(start_epoch, epochs):
             # metrics stay device-side between log points — no per-step host
-            # sync (a host round trip per step throttles remote TPUs)
-            pending = []
+            # sync (a host round trip per step throttles remote TPUs).
+            # `opt_steps` counts OPTIMIZER steps: a k-dispatch chunk is k of
+            # them (its metrics are chunk means, so they enter the running
+            # sums with weight k) — loss.txt's `i` matches the reference's
+            # per-update counter whatever steps_per_dispatch is
+            # (reference: oc_training.py:363,391-395).
+            pending = []  # (metrics, n_opt_steps) not yet folded into running
             running = {"loss": 0.0, "closs": 0.0, "dloss": 0.0}
-            for i, (kind, batch) in enumerate(_device_batches(epoch)):
+            opt_steps = 0
+            for kind, batch in _device_batches(epoch):
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = (step_fn if kind == "chunk"
                                   else single_step_fn)(state, batch, step_rng)
-                pending.append(metrics)
-                if i % cfg.log_every == cfg.log_every - 1:
-                    for m in pending:
+                w = k_dispatch if kind == "chunk" else 1
+                prev = opt_steps
+                opt_steps += w
+                pending.append((metrics, w))
+                if prev // cfg.log_every != opt_steps // cfg.log_every:
+                    for m, mw in pending:
                         for k in running:
-                            running[k] += float(m[k])
+                            running[k] += float(m[k]) * mw
                     pending = []
                     logger.log_running(
-                        epoch, i, running["loss"], running["closs"],
-                        running["dloss"],
+                        epoch, opt_steps - 1, running["loss"],
+                        running["closs"], running["dloss"],
                     )
                     logger.log_jsonl(
-                        epoch=epoch, step=i, **{
-                            k: running[k] / (i + 1) for k in running
+                        epoch=epoch, step=opt_steps - 1, **{
+                            k: running[k] / opt_steps for k in running
                         }
                     )
-            for m in pending:
+            for m, mw in pending:
                 for k in running:
-                    running[k] += float(m[k])
+                    running[k] += float(m[k]) * mw
             if checkpoint_fn is not None:
                 checkpoint_fn(state, epoch)
     return state
