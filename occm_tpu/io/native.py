@@ -170,18 +170,23 @@ def flac_seek_points(path: str) -> Tuple[np.ndarray, np.ndarray]:
     if lib is None:
         raise RuntimeError("native IO library not built (make -C native)")
     cap = 4096
-    samples = np.empty((cap,), np.int64)
-    offsets = np.empty((cap,), np.int64)
-    n = lib.ocm_flac_seek_points(
-        path.encode(),
-        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        cap,
-    )
-    if n < 0:
-        raise IOError(f"ocm_flac_seek_points({path}) failed rc={n}")
-    n = min(n, cap)
-    return samples[:n].copy(), offsets[:n].copy()
+    while True:
+        samples = np.empty((cap,), np.int64)
+        offsets = np.empty((cap,), np.int64)
+        n = lib.ocm_flac_seek_points(
+            path.encode(),
+            samples.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap,
+        )
+        if n < 0:
+            raise IOError(f"ocm_flac_seek_points({path}) failed rc={n}")
+        if n <= cap:
+            return samples[:n].copy(), offsets[:n].copy()
+        # dense seektable larger than the buffer: the C side clamps writes
+        # to cap but returns the true count — re-call with a full buffer
+        # instead of silently truncating
+        cap = n
 
 
 def native_read_flac_range(path: str, start: int, count: int

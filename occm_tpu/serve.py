@@ -147,14 +147,19 @@ class BatchingQueue:
         self.max_wait = max_wait_ms / 1e3
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # serialises submit's check-then-put against close's stop flag:
+        # without it a submit racing close() can enqueue its Future after
+        # the worker's final drain, leaving the caller blocked forever
+        self._lock = threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def submit(self, wave: np.ndarray) -> "Future":
-        if self._stop.is_set():
-            raise RuntimeError("BatchingQueue is closed")
         fut: Future = Future()
-        self._q.put((np.asarray(wave, np.float32), fut))
+        with self._lock:
+            if self._stop.is_set():
+                raise RuntimeError("BatchingQueue is closed")
+            self._q.put((np.asarray(wave, np.float32), fut))
         return fut
 
     def score_sync(self, wave: np.ndarray,
@@ -162,7 +167,8 @@ class BatchingQueue:
         return self.submit(wave).result(timeout=timeout)
 
     def close(self) -> None:
-        self._stop.set()
+        with self._lock:
+            self._stop.set()
         self._q.put(None)  # wake the worker
         self._thread.join()
 

@@ -180,3 +180,38 @@ def test_oc_server_cli_missing_artifacts(tmp_path):
             "--artifacts_dir", str(tmp_path), "--xlsr_tiny",
             "--allow_random_init",
         ])
+
+
+def test_http_large_body_spooled_streaming(monkeypatch):
+    """Bodies above the spool threshold stream to disk in chunks and decode
+    through the native C-ABI readers (FLAC via ocm_flac_open/read) — same
+    scores as the in-memory path (VERDICT r2 item 8)."""
+    import occm_tpu.serve_http as sh
+
+    svc = _service()
+    rng = np.random.default_rng(4)
+    wave = (rng.normal(size=20000) * 0.1).astype(np.float32)
+
+    with BatchingQueue(svc, max_wait_ms=5.0) as batcher:
+        with ScoringHTTPServer(batcher) as server:
+            base = f"http://127.0.0.1:{server.port}"
+            bodies = {
+                "wav": _wav_bytes(wave),
+                "flac": _flac_bytes(wave),
+                "raw": wave.astype("<f4").tobytes(),
+            }
+            inmem = {k: _post(base + "/score", b) for k, b in bodies.items()}
+            # force every one of these bodies through the spool path
+            monkeypatch.setattr(sh, "SPOOL_THRESHOLD_BYTES", 1024)
+            monkeypatch.setattr(sh, "_CHUNK", 4096)  # multiple reads/body
+            spooled = {k: _post(base + "/score", b)
+                       for k, b in bodies.items()}
+            for k in bodies:
+                assert inmem[k][0] == 200 and spooled[k][0] == 200, (
+                    k, inmem[k], spooled[k])
+                assert abs(inmem[k][1]["score"]
+                           - spooled[k][1]["score"]) < 1e-6, k
+            # spooled garbage (not a container, not float32-aligned)
+            # still errors cleanly
+            code, payload = _post(base + "/score", b"\x07" * 4097)
+            assert code == 400
