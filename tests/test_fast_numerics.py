@@ -7,9 +7,19 @@ accumulators) but runs LN/softmax in bf16 and uses tanh-GELU. Two gates
 justify flipping them for throughput (VERDICT round 1, item 3):
 
 1. same-params agreement: loss within 2% relative, gradient cosine > 0.98;
-2. tiny-scale loss-trajectory equivalence: the fast-vs-exact tail-loss gap
-   is no larger than the within-config dropout-seed noise floor (measured
-   2026-08-16: cross-config gap 0.087 vs seed-noise 0.068 on 30 steps).
+2. tiny-scale loss-trajectory equivalence: the exact-vs-fast mean
+   tail-loss gap must sit inside the within-config dropout-seed noise
+   DISTRIBUTION (3 exact + 2 fast reseeds; no absolute-gap freebie —
+   VERDICT r2 weak #2). Full 5-seed-per-config survey measured
+   2026-08-17 (30 steps, tail = last 10 losses):
+     exact tails: seed 100=1.2933 5000=1.3724 9000=1.5809 17=1.5050
+                  4242=1.6402  (max pairwise reseed gap 0.347)
+     fast tails:  seed 100=1.2169 5000=1.4132 9000=1.5991 17=1.4317
+                  4242=1.5831
+     mean(exact)=1.4784, mean(fast)=1.4488, |mean gap|=0.0296 — the
+     numerics effect is ~12x smaller than the reseed spread.
+   The test runs the 3+2-seed subset (CPU budget): cross-gap 0.1005 vs
+   noise 0.2876, a deterministic pass with no absolute-gap floor.
 """
 
 import dataclasses
@@ -156,21 +166,38 @@ def _run_trajectory(fast: bool, steps: int, dropout_seed: int) -> np.ndarray:
 
 @pytest.mark.slow
 def test_fast_numerics_trajectory_equivalence():
-    """Training with fast numerics lands in the same place as exact numerics
-    to within the dropout-seed noise floor of the exact config itself."""
+    """Training with fast numerics lands in the same place as exact
+    numerics, judged against a measured dropout-seed noise DISTRIBUTION:
+    3 exact reseeds establish the within-config spread, 2 fast reseeds
+    give a cross-config mean — the mean gap must sit inside the exact
+    config's own max pairwise reseed gap. No absolute-gap floor."""
     steps = 30
-    exact = _run_trajectory(False, steps, dropout_seed=100)
-    exact_reseed = _run_trajectory(False, steps, dropout_seed=5000)
-    fast = _run_trajectory(True, steps, dropout_seed=100)
-
     tail = slice(-10, None)
-    seed_noise = abs(exact[tail].mean() - exact_reseed[tail].mean())
-    cross_gap = abs(exact[tail].mean() - fast[tail].mean())
-    # fast-vs-exact must be within the noise a dropout reseed causes
-    # (plus an absolute floor in case the reseed run is luckily close)
-    assert cross_gap < max(0.15, 3.0 * seed_noise), (
-        f"cross-config gap {cross_gap:.4f} vs seed noise {seed_noise:.4f}"
+
+    exact_seeds = (100, 5000, 9000)
+    fast_seeds = (100, 5000)
+    exact = {
+        s: _run_trajectory(False, steps, dropout_seed=s)
+        for s in exact_seeds
+    }
+    fast = {
+        s: _run_trajectory(True, steps, dropout_seed=s) for s in fast_seeds
+    }
+    exact_tails = np.array([t[tail].mean() for t in exact.values()])
+    fast_tails = np.array([t[tail].mean() for t in fast.values()])
+
+    # within-config noise: the largest gap a dropout reseed alone causes
+    noise = max(
+        abs(a - b)
+        for i, a in enumerate(exact_tails)
+        for b in exact_tails[i + 1:]
     )
-    # and both must actually have trained
-    assert exact[tail].mean() < exact[:3].mean()
-    assert fast[tail].mean() < fast[:3].mean()
+    cross_gap = abs(exact_tails.mean() - fast_tails.mean())
+    assert cross_gap <= noise, (
+        f"fast-vs-exact mean gap {cross_gap:.4f} exceeds the exact "
+        f"config's own reseed spread {noise:.4f} "
+        f"(exact tails {exact_tails}, fast tails {fast_tails})"
+    )
+    # and every run must actually have trained
+    for t in list(exact.values()) + list(fast.values()):
+        assert t[tail].mean() < t[:3].mean()

@@ -55,3 +55,26 @@ def test_sampling_reproducible_with_seed():
     a = s.sample(3, np.random.default_rng(42))
     b = s.sample(3, np.random.default_rng(42))
     assert a == b
+
+
+def test_anchor_always_bonafide_on_interleaved_protocol():
+    """Pins the deliberate deviation from the reference (DESIGN.md):
+    the reference anchors meta-batch idx directly into file_list
+    (reference: oc_training.py:186-196 — "idx always points to a bonafide
+    file" is FALSE on interleaved protocols, where it silently anchors on
+    spoof rows); here idx maps through bonafide_indices so every anchor is
+    bonafide regardless of protocol row order."""
+    # interleaved: bona rows at odd positions — reference file_list[idx]
+    # with idx in [0, len(bonafide)) would anchor on s0/b0/s1/... and pick
+    # spoof anchors for idx 0, 2
+    files = ["s0", "b0", "s1", "b1", "s2", "b2", "s3", "b3",
+             "s4", "b4", "s5", "b5", "s6", "b6"]
+    labels = ["spoof", "bonafide"] * 7
+    s = PFSampler(files, labels)
+    rng = np.random.default_rng(0)
+    for idx in range(len(s)):
+        main, vocoded, lab = s.sample(idx, rng)
+        assert main[0] == f"b{idx}"            # anchor is the idx-th bonafide
+        assert all(m.startswith("b") for m in main[:6])
+        assert main[6].startswith("s")
+        assert vocoded == [f"{v}_b{idx}" for v in VOCODER_NAMES]
