@@ -141,6 +141,13 @@ class XLSRConfig:
     # XLA here on MXU-dot kernels. Kept off-by-default, parity-tested
     # (tests/test_ops.py), as the recorded experiment.
     ln_impl: str = "xla"
+    # W8A8 int8 serving path: transformer projections (q/k/v/out, fc1/fc2)
+    # run as dynamic-activation-quant int8 MXU dots against offline
+    # per-channel int8 weights (occm_tpu/ops/int8.py). CHANGES THE
+    # CHECKPOINT LAYOUT for those modules ({kernel_q, scale, bias});
+    # convert a trained tree with quantize_params_int8. Inference-only —
+    # round/clip are non-differentiable.
+    quant_int8: bool = False
 
     @staticmethod
     def base() -> "XLSRConfig":

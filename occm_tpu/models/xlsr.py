@@ -111,6 +111,33 @@ class ProjParams(nn.Module):
         return kernel, bias
 
 
+class Int8Dense(nn.Module):
+    """Dense layer in the `quant_int8` serving layout: offline per-channel
+    int8 weights + dynamic per-row int8 activations on the int8 MXU path
+    (occm_tpu/ops/int8.py; 2x the bf16 MXU rate on v5e). Checkpoint tree:
+    {kernel_q int8 [in, out], scale fp32 [out], bias fp32 [out]} — produced
+    from a trained fp32 tree by `quantize_params_int8`."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        from occm_tpu.ops.int8 import int8_matmul
+
+        wq = self.param(
+            "kernel_q", nn.initializers.zeros,
+            (self.in_features, self.features), jnp.int8,
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32,
+        )
+        return int8_matmul(x, wq, scale, bias, out_dtype=x.dtype)
+
+
 class FastLayerNorm(nn.Module):
     """Drop-in for nn.LayerNorm ({scale,bias} params, same init/eps) with
     fp32 statistics and a fused Pallas backward (occm_tpu.ops.layernorm).
@@ -142,7 +169,13 @@ class SelfAttention(nn.Module):
         hd = d // h
         B, T, _ = x.shape
 
-        if cfg.fused_qkv:
+        if cfg.quant_int8:
+            # W8A8 serving path: int8 MXU projections, bf16 attention math
+            mk = lambda name: Int8Dense(d, d, name=name)
+            q = mk("q_proj")(x)
+            k = mk("k_proj")(x)
+            v = mk("v_proj")(x)
+        elif cfg.fused_qkv:
             # one [d, 3d] dot instead of three [d, d] dots: measured 3x
             # higher MXU rate on v5e for the N=1024 projections (the
             # emitter runs wide-N dots near peak, narrow-N at ~20%)
@@ -166,6 +199,12 @@ class SelfAttention(nn.Module):
             from occm_tpu.ops.attention import flash_attention
 
             out = flash_attention(q, k, v).astype(dt)
+        elif cfg.attention_impl == "skip":
+            # NOT a real attention: passes V through untouched. Exists only
+            # for perf attribution (bench A/B: step time without the
+            # softmax(QK^T)V math bounds what any attention kernel can
+            # recover). Never a valid training/serving config.
+            out = v
         else:
             q = q * (hd ** -0.5)
             logits = jnp.einsum(
@@ -175,6 +214,8 @@ class SelfAttention(nn.Module):
             probs = jax.nn.softmax(logits, axis=-1).astype(dt)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(B, T, d)
+        if cfg.quant_int8:
+            return Int8Dense(d, d, name="out_proj")(out)
         return nn.Dense(d, dtype=dt, name="out_proj")(out)
 
 
@@ -217,7 +258,13 @@ class TransformerLayer(nn.Module):
 
         residual = x
         h = ln("final_layer_norm")(x) if cfg.layer_norm_first else x
-        if cfg.ffn_impl == "pallas":
+        if cfg.quant_int8:
+            h = Int8Dense(cfg.encoder_embed_dim, cfg.encoder_ffn_dim,
+                          name="fc1")(h)
+            h = jax.nn.gelu(h, approximate=cfg.gelu_approximate)
+            h = Int8Dense(cfg.encoder_ffn_dim, cfg.encoder_embed_dim,
+                          name="fc2")(h)
+        elif cfg.ffn_impl == "pallas":
             # fused fc1+GELU+fc2 kernel: hidden [M,4096] activation stays
             # in VMEM (occm_tpu.ops.ffn; measured 122 vs 99 TF/s XLA).
             # Same checkpoint tree: parameters declared via ProjParams.

@@ -43,19 +43,23 @@ def _round_up(x: int, m: int) -> int:
 # --------------------------------------------------------------- kernels
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # [T, D]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # keep the MXU dots in the input dtype (bf16): fp32 MXU matmuls cost a
+    # 3-pass decomposition on v5e — the r2 all-fp32 version of this kernel
+    # measured 143 utt/s end-to-end vs 207 XLA for exactly that reason.
+    # Accumulation and softmax stay fp32 via preferred_element_type.
+    q = q_ref[0]  # [T, D]
+    k = k_ref[0]
+    v = v_ref[0]
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale                                            # [T, T]
+    ) * scale                                            # [T, T] fp32
     t = logits.shape[-1]
     if t_valid < t:
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(col < t_valid, logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     o_ref[0] = jnp.dot(
         probs, v, preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
@@ -63,10 +67,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int, scale: float):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
                 t_valid: int, scale: float):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # bf16 MXU dots, fp32 accumulators/softmax (see _fwd_kernel note)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
@@ -76,10 +81,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     if t_valid < t:
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(col < t_valid, logits, -1e30)
-    p = jax.nn.softmax(logits, axis=-1)                  # [T, T]
+    p = jax.nn.softmax(logits, axis=-1)                  # [T, T] fp32
+    p_lo = p.astype(q.dtype)
 
     dv = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
+        p_lo, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                    # [T, D]
     dp = jax.lax.dot_general(
@@ -87,9 +93,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         preferred_element_type=jnp.float32,
     )                                                    # [T, T]
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    ds_lo = ds.astype(q.dtype)
+    dq = jnp.dot(ds_lo, k, preferred_element_type=jnp.float32) * scale
     dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
+        ds_lo, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
 

@@ -1,0 +1,123 @@
+"""Measure the W8A8 int8 scoring path end-to-end on the real chip.
+
+Round 2 banked the accuracy half (tools/exp_int8_scoring.py: weight-only
+cosine 0.9996); round 3 added the speed half — dynamic activation quant +
+int8 MXU dots (occm_tpu/ops/int8.py, XLSRConfig.quant_int8). This tool
+records the end-to-end utt/s of the full XLSR-300M+AASIST scoring forward:
+bf16 exact vs fast-numerics vs int8(+fast), plus the int8-vs-bf16
+embedding cosine at the full model, batch 32.
+
+Usage: python tools/bench_int8_serving.py [--batch 32] [--tiny]
+Prints one RESULT line per config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from occm_tpu.config import AASISTConfig, XLSRConfig
+    from occm_tpu.models import AModel
+    from occm_tpu.ops.int8 import quantize_params_int8
+
+    cut = 64600 if not args.tiny else 3200
+    if args.tiny:
+        base_xlsr = XLSRConfig.tiny()
+        acfg = AASISTConfig.tiny()
+    else:
+        base_xlsr = XLSRConfig()
+        acfg = AASISTConfig()
+
+    def make_cfg(fast: bool, int8: bool):
+        return dataclasses.replace(
+            base_xlsr,
+            norm_dtype="bfloat16" if fast else base_xlsr.norm_dtype,
+            gelu_approximate=fast,
+            conv_gelu_approximate=fast,
+            quant_int8=int8,
+            remat=False,
+        )
+
+    # shape-correct zero params (cheap; throughput is params-independent,
+    # and the cosine check uses one random-params tiny run below)
+    model0 = AModel(acfg, xlsr_cfg=make_cfg(False, False))
+    x = jnp.zeros((args.batch, cut), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model0.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+            x,
+        )
+    )
+    key = jax.random.PRNGKey(1)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(key, len(leaves))
+    variables = jax.tree_util.tree_unflatten(treedef, [
+        (jax.random.normal(k, s.shape, jnp.float32) * 0.02).astype(s.dtype)
+        if jnp.issubdtype(s.dtype, jnp.floating)
+        else jnp.zeros(s.shape, s.dtype)
+        for k, s in zip(keys, leaves)
+    ])
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    # quantise the XLSR transformer projections (walks the whole AModel
+    # tree; only q/k/v/out_proj/fc1/fc2 modules are transformed)
+    qtree = quantize_params_int8(params)
+
+    gen = np.random.default_rng(0)
+    wave = jnp.asarray(gen.normal(size=(args.batch, cut)).astype(np.float32)
+                       * 0.1)
+
+    embs = {}
+
+    def bench(name, fast, int8):
+        cfg = make_cfg(fast, int8)
+        model = AModel(acfg, xlsr_cfg=cfg)
+        p = qtree if int8 else params
+        v = {"params": p}
+        if stats:
+            v["batch_stats"] = stats
+
+        fn = jax.jit(lambda w: model.apply(v, w, train=False))
+        emb, logits = fn(wave)
+        np.asarray(emb)  # force host read: compile + first run
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            emb, logits = fn(wave)
+        emb_h = np.asarray(emb)
+        dt = time.perf_counter() - t0
+        utt = args.batch * args.reps / dt
+        embs[name] = emb_h
+        print(f"RESULT {name}: {utt:.1f} utt/s", flush=True)
+
+    bench("bf16_exact", False, False)
+    bench("bf16_fast", True, False)
+    bench("int8_fast", True, True)
+
+    a, b = embs["bf16_exact"].ravel(), embs["int8_fast"].ravel()
+    cos = float(np.vdot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)
+                                 + 1e-20))
+    print(f"RESULT int8_vs_exact_cosine: {cos:.5f}")
+
+
+if __name__ == "__main__":
+    main()
