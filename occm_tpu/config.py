@@ -148,6 +148,12 @@ class XLSRConfig:
     # convert a trained tree with quantize_params_int8. Inference-only —
     # round/clip are non-differentiable.
     quant_int8: bool = False
+    # rematerialise the conv feature extractor on the backward pass: the
+    # 7-layer cascade stores ~2.5 GB of bf16 intermediates at batch 96
+    # for its backward; recomputing trades cheap MXU conv FLOPs for that
+    # HBM traffic (the conv stack is activation-bandwidth-bound, not
+    # FLOP-bound: ~180 GFLOP total but ~40 ms measured)
+    conv_remat: bool = False
 
     @staticmethod
     def base() -> "XLSRConfig":

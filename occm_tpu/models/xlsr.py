@@ -304,9 +304,10 @@ class XLSREncoder(nn.Module):
         if x.ndim == 3:  # reference squeezes a trailing channel dim
             x = x[:, :, 0]
 
-        feats = ConvFeatureExtractor(cfg, name="feature_extractor")(
-            x, train=train
-        )
+        conv_cls = ConvFeatureExtractor
+        if cfg.conv_remat:
+            conv_cls = nn.remat(conv_cls, prevent_cse=False)
+        feats = conv_cls(cfg, name="feature_extractor")(x, train=train)
         # fairseq GradMultiply: scale (or stop) the gradient into the conv
         # stack; 0 skips the conv backward entirely
         if cfg.feature_grad_mult == 0.0:

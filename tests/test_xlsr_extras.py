@@ -137,3 +137,30 @@ def test_ffn_impl_pallas_same_tree_and_output():
     y_b = m_pl.apply(p_xla, wave)
     np.testing.assert_allclose(np.asarray(y_a), np.asarray(y_b),
                                rtol=2e-3, atol=2e-5)
+
+
+def test_conv_remat_identical_forward_and_grad():
+    """conv_remat recomputes the conv extractor in backward — identical
+    math, only an HBM/FLOP trade (XLSRConfig.conv_remat)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from occm_tpu.config import XLSRConfig
+    from occm_tpu.models import XLSREncoder
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 3200)).astype(np.float32))
+    outs, grads = [], []
+    for remat in (False, True):
+        cfg = dataclasses.replace(XLSRConfig.tiny(), conv_remat=remat)
+        enc = XLSREncoder(cfg)
+        p = enc.init({"params": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(0)}, x)
+        outs.append(np.asarray(enc.apply(p, x)))
+        g = jax.grad(lambda p: jnp.sum(jnp.square(enc.apply(p, x))))(p)
+        grads.append(np.asarray(jax.tree_util.tree_leaves(g)[0]))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_allclose(grads[0], grads[1], rtol=1e-6, atol=1e-8)
