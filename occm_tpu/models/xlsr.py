@@ -214,6 +214,13 @@ class SelfAttention(nn.Module):
             probs = jax.nn.softmax(logits, axis=-1).astype(dt)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(B, T, d)
+        # named so remat_policy="attn_out_inner" can save the pre-out_proj
+        # attention output: the backward then never re-runs the attention
+        # math (softmax(QK^T)V) — only the cheap q/k/v projection dots are
+        # recomputed to feed the attention backward itself
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(out, "attn_inner")
         if cfg.quant_int8:
             return Int8Dense(d, d, name="out_proj")(out)
         return nn.Dense(d, dtype=dt, name="out_proj")(out)
@@ -354,6 +361,13 @@ class XLSREncoder(nn.Module):
             elif cfg.remat_policy == "attn_out":
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out"
+                )
+            elif cfg.remat_policy == "attn_out_inner":
+                # additionally saves the pre-out_proj attention output
+                # (39.5 MB/layer at batch 96) so the backward recompute
+                # skips the attention math entirely
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "attn_inner"
                 )
             else:
                 policy = None

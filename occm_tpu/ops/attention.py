@@ -42,113 +42,158 @@ def _round_up(x: int, m: int) -> int:
 
 # --------------------------------------------------------------- kernels
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int, scale: float):
-    # keep the MXU dots in the input dtype (bf16): fp32 MXU matmuls cost a
-    # 3-pass decomposition on v5e — the r2 all-fp32 version of this kernel
-    # measured 143 utt/s end-to-end vs 207 XLA for exactly that reason.
-    # Accumulation and softmax stay fp32 via preferred_element_type.
-    q = q_ref[0]  # [T, D]
-    k = k_ref[0]
-    v = v_ref[0]
+def _fwd_kernel(q_ref, kt_ref, v_ref, o_ref, *, t_valid: int, scale: float):
+    # Three hard-won rules shape this kernel (DESIGN.md r2/r3 ledger):
+    # - MXU dots stay in the input dtype (bf16): fp32 MXU matmuls cost a
+    #   3-pass decomposition on v5e (the all-fp32 r2 kernel measured 143
+    #   utt/s end-to-end vs 207 XLA). Accumulation/softmax are fp32.
+    # - G (batch, head) pairs per grid step: with one pair per step the
+    #   1536-step grid is bound by ~2.6 us/step of fixed Mosaic overhead
+    #   (4.45 ms/layer measured vs 0.5 ms of math).
+    # - every dot is in canonical [M,K]@[K,N] form: K arrives
+    #   pre-transposed ([D, T]) because a non-canonical contraction makes
+    #   Mosaic relayout the operand in-kernel on the VPU.
+    g, t, _ = q_ref.shape
+    col = (
+        jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        if t_valid < t else None
+    )  # key mask, hoisted: identical for every (b,h) pair in the block
+    for i in range(g):  # static unroll over the grouped (b,h) pairs
+        # fold the softmax scale into q: one [T, D] multiply instead of a
+        # [T, T] multiply on the logits
+        q = (q_ref[i].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        kt = kt_ref[i]                                   # [D, T]
+        v = v_ref[i]
 
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale                                            # [T, T] fp32
-    t = logits.shape[-1]
-    if t_valid < t:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < t_valid, logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    o_ref[0] = jnp.dot(
-        probs, v, preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
-
-
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                t_valid: int, scale: float):
-    # bf16 MXU dots, fp32 accumulators/softmax (see _fwd_kernel note)
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    t = logits.shape[-1]
-    if t_valid < t:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < t_valid, logits, -1e30)
-    p = jax.nn.softmax(logits, axis=-1)                  # [T, T] fp32
-    p_lo = p.astype(q.dtype)
-
-    dv = jax.lax.dot_general(
-        p_lo, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                    # [T, D]
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                    # [T, T]
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    ds_lo = ds.astype(q.dtype)
-    dq = jnp.dot(ds_lo, k, preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(
-        ds_lo, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+        logits = jnp.dot(
+            q, kt, preferred_element_type=jnp.float32,
+        )                                                # [T, T] fp32
+        if col is not None:
+            logits = jnp.where(col < t_valid, logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        o_ref[i] = jnp.dot(
+            probs, v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
 
 
-def _bh_spec(t: int, d: int):
+def _bwd_kernel(q_ref, k_ref, kt_ref, vt_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, t_valid: int, scale: float):
+    # bf16 MXU dots, fp32 accumulators/softmax, G pairs per grid step,
+    # canonical dot layouts (see _fwd_kernel note). k arrives in BOTH
+    # layouts: kt [D, T] for the logits recompute, k [T, D] for dq.
+    g, t, _ = q_ref.shape
+    col = (
+        jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        if t_valid < t else None
+    )
+    for i in range(g):
+        q = q_ref[i]
+        k = k_ref[i]
+        kt = kt_ref[i]                                   # [D, T]
+        vt = vt_ref[i]                                   # [D, T]
+        do = do_ref[i]
+
+        logits = jnp.dot(
+            q, kt, preferred_element_type=jnp.float32,
+        ) * scale
+        if col is not None:
+            logits = jnp.where(col < t_valid, logits, -1e30)
+        p = jax.nn.softmax(logits, axis=-1)              # [T, T] fp32
+        p_lo = p.astype(q.dtype)
+
+        # dv = p^T @ do and dk = ds^T @ q, but contracting dim 0 of the
+        # BIG [T, T] matrix forces Mosaic to relayout it in-kernel.
+        # Compute the transposed results instead — dv^T = do^T @ p,
+        # dk^T = q^T @ ds — so the only dim-0 contractions are on the
+        # small [T, D] operands, then un-transpose the [D, T] results.
+        dvT = jax.lax.dot_general(
+            do, p_lo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # [D, T]
+        dp = jnp.dot(
+            do, vt, preferred_element_type=jnp.float32,
+        )                                                # [T, T]
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds_lo = ds.astype(q.dtype)
+        dq = jnp.dot(ds_lo, k, preferred_element_type=jnp.float32) * scale
+        dkT = jax.lax.dot_general(
+            q, ds_lo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                        # [D, T]
+
+        # dk/dv leave the kernel in [D, T] layout — the un-transpose is a
+        # cheap fusable XLA op outside, not a Mosaic relayout inside
+        dq_ref[i] = dq.astype(dq_ref.dtype)
+        dk_ref[i] = dkT.astype(dk_ref.dtype)
+        dv_ref[i] = dvT.astype(dv_ref.dtype)
+
+
+def _group(n: int) -> int:
+    """(b,h) pairs per grid step: largest divisor of n up to 8 — big
+    enough to amortise the fixed per-step cost, small enough to keep the
+    block VMEM-resident."""
+    for g in (8, 6, 4, 3, 2):
+        if n % g == 0:
+            return g
+    return 1
+
+
+def _bh_spec(g: int, t: int, d: int):
     return pl.BlockSpec(
-        (1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM,
+        (g, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM,
     )
 
 
 def _run_fwd(q, k, v, t_valid: int, scale: float, interpret: bool):
     B, H, T, D = q.shape
+    g = _group(B * H)
     qf = q.reshape(B * H, T, D)
-    kf = k.reshape(B * H, T, D)
+    # k transposed OUTSIDE the kernel: XLA's HBM transpose is cheap and
+    # fusable; Mosaic's in-kernel relayout of a non-canonical dot operand
+    # is not (see _fwd_kernel note)
+    ktf = jnp.swapaxes(k.reshape(B * H, T, D), 1, 2)      # [BH, D, T]
     vf = v.reshape(B * H, T, D)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, t_valid=t_valid, scale=scale),
         out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
-        grid=(B * H,),
-        in_specs=[_bh_spec(T, D)] * 3,
-        out_specs=_bh_spec(T, D),
+        grid=(B * H // g,),
+        in_specs=[_bh_spec(g, T, D), _bh_spec(g, D, T), _bh_spec(g, T, D)],
+        out_specs=_bh_spec(g, T, D),
         # without dimension_semantics Mosaic does not pipeline the grid on
         # this toolchain (measured ~10x slowdown on the FFN kernel)
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(qf, ktf, vf)
     return out.reshape(B, H, T, D)
 
 
 def _run_bwd(q, k, v, do, t_valid: int, scale: float, interpret: bool):
     B, H, T, D = q.shape
+    g = _group(B * H)
     flat = lambda x: x.reshape(B * H, T, D)
-    shapes = [jax.ShapeDtypeStruct((B * H, T, D), q.dtype)] * 3
-    dq, dk, dv = pl.pallas_call(
+    flat_t = lambda x: jnp.swapaxes(x.reshape(B * H, T, D), 1, 2)
+    td = _bh_spec(g, T, D)
+    dt_ = _bh_spec(g, D, T)
+    dq, dkT, dvT = pl.pallas_call(
         functools.partial(_bwd_kernel, t_valid=t_valid, scale=scale),
-        out_shape=shapes,
-        grid=(B * H,),
-        in_specs=[_bh_spec(T, D)] * 4,
-        out_specs=[_bh_spec(T, D)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, D, T), q.dtype),
+            jax.ShapeDtypeStruct((B * H, D, T), q.dtype),
+        ],
+        grid=(B * H // g,),
+        in_specs=[td, td, dt_, dt_, td],
+        out_specs=[td, dt_, dt_],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(flat(q), flat(k), flat(v), flat(do))
+    )(flat(q), flat(k), flat_t(k), flat_t(v), flat(do))
     unflat = lambda x: x.reshape(B, H, T, D)
-    return unflat(dq), unflat(dk), unflat(dv)
+    unflat_t = lambda x: jnp.swapaxes(x, 1, 2).reshape(B, H, T, D)
+    return unflat(dq), unflat_t(dkT), unflat_t(dvT)
 
 
 # ------------------------------------------------------------ public op
