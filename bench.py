@@ -57,14 +57,16 @@ def run(groups_per_step: int, k_dispatch: int = 16, chunks: int = 3,
     # bf16_param_mirror casts transformer weights to bf16 once per step
     # instead of per use — numerically identical (same cast, same values),
     # measured +2.6 utt/s (182.7 vs 180.1). remat_policy="attn_out" saves
-    # the attention output per layer (39.5 MB/layer) so the backward
-    # recompute skips QKV+attention+out_proj — identical math, +2 utt/s;
-    # with the 8-step dispatch: 186.6 measured.
+    # the attention block output AND the pre-out_proj attention output
+    # per layer (2 x 39.5 MB/layer) so the backward never re-runs the
+    # softmax(QK^T)V chain — identical math (parity test in
+    # tests/test_xlsr_extras.py), 208.5 vs 207.0 utt/s. Saving MORE
+    # (attn_probs/attn_all) measured slower: HBM ledger in DESIGN.md.
     # conv_gelu_approximate: +10% measured (exact-erf over the big conv
     # activations); gated by the encoder-feature + trajectory tests
     xlsr_kw = dict(norm_dtype="bfloat16", gelu_approximate=True,
                    conv_gelu_approximate=True,
-                   bf16_param_mirror=True, remat_policy="attn_out")
+                   bf16_param_mirror=True, remat_policy="attn_out_inner")
     xlsr_kw.update(xlsr_overrides)
     model = AModel(AASISTConfig(), xlsr_cfg=XLSRConfig(**xlsr_kw))
 

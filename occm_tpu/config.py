@@ -88,8 +88,16 @@ class XLSRConfig:
     norm_dtype: str = "float32"
     # nn.scan unroll factor over transformer layers (1 = pure while loop)
     scan_unroll: int = 1
-    # remat policy: "nothing" (full recompute, min memory) or "dots"
-    # (save matmul outputs — faster backward, more HBM)
+    # remat policy — what each scanned transformer layer saves for the
+    # backward pass (identical math, HBM-vs-recompute trade; measured
+    # ledger in DESIGN.md):
+    #   "nothing"        full recompute, minimum memory
+    #   "dots"           save all matmul outputs (measured slower: HBM-bound)
+    #   "attn_out"       save the attention block output (39.5 MB/layer @96)
+    #   "attn_out_inner" + the pre-out_proj attention output
+    #   "attn_probs"     + the softmax probabilities: backward skips the
+    #                    QK^T dot and softmax re-run (124 MB/layer @96)
+    #   "attn_all"       + q/k/v: backward recomputes only LNs + fc1/GELU
     remat_policy: str = "nothing"
     # tanh-approximate GELU in the transformer stack (cheaper
     # transcendentals; fairseq uses exact erf)

@@ -191,9 +191,16 @@ class SelfAttention(nn.Module):
             k = nn.Dense(d, dtype=dt, name="k_proj")(x)
             v = nn.Dense(d, dtype=dt, name="v_proj")(x)
 
+        from jax.ad_checkpoint import checkpoint_name
+
         q = q.reshape(B, T, h, hd)
         k = k.reshape(B, T, h, hd)
         v = v.reshape(B, T, h, hd)
+        # named so the "attn_all" remat policy can save the projections:
+        # the backward recompute then skips the three q/k/v dots
+        q = checkpoint_name(q, "attn_q")
+        k = checkpoint_name(k, "attn_k")
+        v = checkpoint_name(v, "attn_v")
 
         if cfg.attention_impl == "flash":
             from occm_tpu.ops.attention import flash_attention
@@ -211,15 +218,19 @@ class SelfAttention(nn.Module):
                 "bqhd,bkhd->bhqk", q, k,
                 preferred_element_type=_norm_dtype(cfg),
             )
-            probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+            # named BEFORE the compute-dtype cast so the softmax VJP can
+            # consume the saved value directly: with "attn_probs" saved the
+            # backward needs neither the QK^T dot nor the softmax re-run
+            # (d_logits = p*(dp - sum(dp*p)) needs only p, do, q, k, v)
+            probs = checkpoint_name(
+                jax.nn.softmax(logits, axis=-1), "attn_probs"
+            ).astype(dt)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(B, T, d)
         # named so remat_policy="attn_out_inner" can save the pre-out_proj
         # attention output: the backward then never re-runs the attention
         # math (softmax(QK^T)V) — only the cheap q/k/v projection dots are
         # recomputed to feed the attention backward itself
-        from jax.ad_checkpoint import checkpoint_name
-
         out = checkpoint_name(out, "attn_inner")
         if cfg.quant_int8:
             return Int8Dense(d, d, name="out_proj")(out)
@@ -368,6 +379,21 @@ class XLSREncoder(nn.Module):
                 # skips the attention math entirely
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out", "attn_inner"
+                )
+            elif cfg.remat_policy == "attn_probs":
+                # + the softmax probabilities (124 MB/layer at batch 96,
+                # norm_dtype): backward skips the QK^T dot AND the softmax
+                # re-run — the probs feed the softmax VJP directly
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "attn_inner", "attn_probs"
+                )
+            elif cfg.remat_policy == "attn_all":
+                # + q/k/v (3x39.5 MB/layer): backward recomputes only the
+                # layer norms and fc1+GELU; everything attention-side is
+                # saved. HBM-hungry — pair with conv_remat at batch 96
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "attn_inner", "attn_probs",
+                    "attn_q", "attn_k", "attn_v",
                 )
             else:
                 policy = None

@@ -164,3 +164,35 @@ def test_conv_remat_identical_forward_and_grad():
         grads.append(np.asarray(jax.tree_util.tree_leaves(g)[0]))
     np.testing.assert_array_equal(outs[0], outs[1])
     np.testing.assert_allclose(grads[0], grads[1], rtol=1e-6, atol=1e-8)
+
+
+def test_remat_policies_identical_forward_and_grad():
+    """Every remat policy is an HBM-vs-recompute trade only: identical
+    forward and gradients (XLSRConfig.remat_policy ladder)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from occm_tpu.config import XLSRConfig
+    from occm_tpu.models import XLSREncoder
+
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 3200)).astype(np.float32))
+    results = {}
+    for policy in ("nothing", "attn_out", "attn_out_inner", "attn_probs",
+                   "attn_all"):
+        cfg = dataclasses.replace(XLSRConfig.tiny(), remat_policy=policy)
+        enc = XLSREncoder(cfg)
+        p = enc.init({"params": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(0)}, x)
+        out = np.asarray(enc.apply(p, x))
+        g = jax.grad(lambda p: jnp.sum(jnp.square(enc.apply(p, x))))(p)
+        results[policy] = (out, np.asarray(jax.tree_util.tree_leaves(g)[0]))
+    ref_out, ref_g = results["nothing"]
+    for policy, (out, g) in results.items():
+        np.testing.assert_allclose(ref_out, out, rtol=1e-6, atol=1e-7,
+                                   err_msg=policy)
+        np.testing.assert_allclose(ref_g, g, rtol=1e-5, atol=1e-7,
+                                   err_msg=policy)
