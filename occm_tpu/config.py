@@ -79,7 +79,10 @@ class XLSRConfig:
     out_dim: int = 1024          # SSLModel.out_dim (reference: models/xlsr.py:33)
     remat: bool = True           # jax.checkpoint each transformer block
     dtype: str = "bfloat16"      # compute dtype for the MXU path
-    attention_impl: str = "xla"  # "xla" einsum | "flash" pallas kernel
+    # "xla" einsum | "xla_merged" (B·H flattened to one batch dim for the
+    # attention dots — same math) | "flash" pallas kernel | "skip" (debug
+    # perf-attribution only: NOT attention)
+    attention_impl: str = "xla"
     # fairseq wav2vec2 fine-tuning knob: scales (0 stops) the gradient
     # flowing into the conv feature extractor
     feature_grad_mult: float = 1.0

@@ -212,6 +212,24 @@ class SelfAttention(nn.Module):
             # softmax(QK^T)V math bounds what any attention kernel can
             # recover). Never a valid training/serving config.
             out = v
+        elif cfg.attention_impl == "xla_merged":
+            # same math as "xla" but with (B, H) flattened into ONE batch
+            # dim for the two attention dots — gives XLA's convolution
+            # emitter a single deep batch dimension (B·H=1536 at the bench
+            # shape) instead of two nested ones, which changes its tiling
+            # choices for the T=201/D=64 small-dot shapes
+            q = (q * (hd ** -0.5)).transpose(0, 2, 1, 3).reshape(B * h, T, hd)
+            km = k.transpose(0, 2, 1, 3).reshape(B * h, T, hd)
+            vm = v.transpose(0, 2, 1, 3).reshape(B * h, T, hd)
+            logits = jnp.einsum(
+                "zqd,zkd->zqk", q, km,
+                preferred_element_type=_norm_dtype(cfg),
+            )
+            probs = checkpoint_name(
+                jax.nn.softmax(logits, axis=-1), "attn_probs"
+            ).astype(dt)
+            out = jnp.einsum("zqk,zkd->zqd", probs, vm)
+            out = out.reshape(B, h, T, hd).transpose(0, 2, 1, 3)
         else:
             q = q * (hd ** -0.5)
             logits = jnp.einsum(

@@ -196,3 +196,34 @@ def test_remat_policies_identical_forward_and_grad():
                                    err_msg=policy)
         np.testing.assert_allclose(ref_g, g, rtol=1e-5, atol=1e-7,
                                    err_msg=policy)
+
+
+def test_xla_merged_attention_identical():
+    """attention_impl="xla_merged" flattens (B,H) into one batch dim for
+    the attention dots — same math as "xla" (layout-only change)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from occm_tpu.config import XLSRConfig
+    from occm_tpu.models import XLSREncoder
+
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(2, 3200)).astype(np.float32))
+    results = {}
+    for impl in ("xla", "xla_merged"):
+        cfg = dataclasses.replace(XLSRConfig.tiny(), attention_impl=impl)
+        enc = XLSREncoder(cfg)
+        p = enc.init({"params": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(0)}, x)
+        out = np.asarray(enc.apply(p, x))
+        g = jax.grad(lambda p: jnp.sum(jnp.square(enc.apply(p, x))))(p)
+        results[impl] = (out, np.asarray(jax.tree_util.tree_leaves(g)[0]))
+    # layout-only change, but a different contraction layout reassociates
+    # the fp accumulation — tolerances cover reassociation, not math drift
+    np.testing.assert_allclose(results["xla"][0], results["xla_merged"][0],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(results["xla"][1], results["xla_merged"][1],
+                               rtol=1e-4, atol=1e-5)
