@@ -76,15 +76,21 @@ def quantize_params_int8(params):
     """Transform a trained fp32/bf16 XLSR param tree into the
     `XLSRConfig(quant_int8=True)` layout: each transformer projection's
     {kernel, bias} becomes {kernel_q int8, scale fp32, bias}. Works on the
-    scan-stacked [L, in, out] kernels and on unstacked ones."""
+    scan-stacked [L, in, out] kernels and on unstacked ones.
 
-    def walk(node):
+    The walk only quantises QUANTIZED_MODULES found INSIDE the encoder's
+    scanned transformer subtree (a `layers` scope) — backend classifiers
+    reuse generic names like fc1/fc2 (e.g. SELayer, the CNN heads) and
+    must stay fp32 with their original {kernel} layout."""
+
+    def walk(node, in_layers=False):
         if not isinstance(node, dict):
             return node
         out = {}
         for name, child in node.items():
             if (
-                name in QUANTIZED_MODULES
+                in_layers
+                and name in QUANTIZED_MODULES
                 and isinstance(child, dict)
                 and "kernel" in child
                 and getattr(child["kernel"], "ndim", 0) >= 2
@@ -99,7 +105,7 @@ def quantize_params_int8(params):
                         np.asarray(child["bias"], np.float32))
                 out[name] = new_child
             else:
-                out[name] = walk(child)
+                out[name] = walk(child, in_layers or name == "layers")
         return out
 
     return walk(jax.device_get(params))

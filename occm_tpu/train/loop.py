@@ -163,6 +163,38 @@ def _train_step_body(cfg: TrainConfig, apply_rawboost: bool,
     return train_step
 
 
+def chunk_batches(batch_iter, full_batch: int, k_dispatch: int):
+    """Group an epoch's (x, labels) stream into ("chunk", xs, ls) stacks of
+    k_dispatch for the scanned multi-step dispatch, flushing everything that
+    can't fill a fixed-shape chunk through ("single", x, l) items so no
+    batch is ever dropped (VERDICT r1 item 8) AND optimizer updates stay in
+    data order (the reference steps strictly per meta-batch,
+    oc_training.py:363): a ragged smaller-shape batch flushes the buffered
+    full batches before itself, never ahead of them."""
+    import numpy as np
+
+    if k_dispatch == 1:
+        for x, labels in batch_iter:
+            yield "single", x, jnp.asarray(labels, jnp.int32)
+        return
+    xs, ls = [], []
+    for x, labels in batch_iter:
+        if x.shape[0] != full_batch:
+            for xb, lb in zip(xs, ls):
+                yield "single", xb, lb
+            xs, ls = [], []
+            yield "single", np.asarray(x), np.asarray(labels, np.int32)
+            continue
+        xs.append(np.asarray(x))
+        ls.append(np.asarray(labels, np.int32))
+        if len(xs) == k_dispatch:
+            # stack on host: a single device_put then shards the chunk
+            yield "chunk", np.stack(xs), np.stack(ls)
+            xs, ls = [], []
+    for x, l in zip(xs, ls):
+        yield "single", x, l
+
+
 def train(
     model,
     pipeline,
@@ -239,31 +271,9 @@ def train(
         step_fn = single_step_fn
 
     def _batches(epoch):
-        """Yield ("chunk", xs, ls) stacks of k when multi-dispatching, and
-        flush the up-to-k-1 ragged tail through ("single", x, l) items so
-        no batch is ever dropped (VERDICT r1 item 8)."""
-        if k_dispatch == 1:
-            for x, labels in pipeline.epoch(epoch):
-                yield "single", x, labels.astype(jnp.int32)
-            return
-        import numpy as np
-
-        full = cfg.groups_per_step * cfg.meta_batch
-        xs, ls = [], []
-        for x, labels in pipeline.epoch(epoch):
-            if x.shape[0] != full:
-                # ragged pipeline tail (drop_remainder=False): smaller batch
-                # can't join a fixed-shape chunk — flush it standalone
-                yield "single", np.asarray(x), np.asarray(labels, np.int32)
-                continue
-            xs.append(np.asarray(x))
-            ls.append(np.asarray(labels, np.int32))
-            if len(xs) == k_dispatch:
-                # stack on host: a single device_put then shards the chunk
-                yield "chunk", np.stack(xs), np.stack(ls)
-                xs, ls = [], []
-        for x, l in zip(xs, ls):
-            yield "single", x, l
+        return chunk_batches(pipeline.epoch(epoch),
+                             cfg.groups_per_step * cfg.meta_batch,
+                             k_dispatch)
 
     def _device_batches(epoch):
         """Double-buffer the host->device upload: issue the (async)

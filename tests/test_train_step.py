@@ -206,3 +206,32 @@ def test_multi_dispatch_flushes_ragged_tail():
     state = train(model, FakePipeline(), cfg, mesh=mesh, num_epochs=1,
                   sample_input=jnp.zeros((12, CUT), jnp.float32))
     assert int(state.step) == 3
+
+
+def test_chunk_batches_preserves_data_order():
+    """A ragged batch arriving while full batches are buffered must flush
+    the buffer FIRST: optimizer updates stay in data order (reference
+    steps strictly per meta-batch)."""
+    from occm_tpu.train.loop import chunk_batches
+
+    full = 12
+
+    def stream(sizes):
+        for i, n in enumerate(sizes):
+            x = np.full((n, 4), i, np.float32)
+            yield x, np.zeros((n,), np.int32)
+
+    # 3 full + ragged + 2 full with k=2:
+    #   chunk(0,1) -> single(2) -> single(ragged 3) -> chunk(4,5)
+    out = list(chunk_batches(stream([12, 12, 12, 7, 12, 12]), full, 2))
+    kinds = [k for k, _, _ in out]
+    assert kinds == ["chunk", "single", "single", "chunk"]
+    order = []
+    for kind, x, _ in out:
+        if kind == "chunk":
+            order.extend(int(x[j, 0, 0]) for j in range(x.shape[0]))
+        else:
+            order.append(int(x[0, 0]))
+    assert order == [0, 1, 2, 3, 4, 5]
+    # the ragged one is the 7-row batch
+    assert out[2][1].shape[0] == 7

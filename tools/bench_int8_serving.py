@@ -68,16 +68,23 @@ def main():
         )
     )
     key = jax.random.PRNGKey(1)
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes["params"])
     keys = jax.random.split(key, len(leaves))
-    variables = jax.tree_util.tree_unflatten(treedef, [
+    params = jax.tree_util.tree_unflatten(treedef, [
         (jax.random.normal(k, s.shape, jnp.float32) * 0.02).astype(s.dtype)
         if jnp.issubdtype(s.dtype, jnp.floating)
         else jnp.zeros(s.shape, s.dtype)
         for k, s in zip(keys, leaves)
     ])
-    params = variables["params"]
-    stats = variables.get("batch_stats", {})
+    # batch_stats must stay VALID statistics, not noise: BatchNorm's
+    # eval forward takes rsqrt(var + eps), so random zero-mean "variances"
+    # are negative half the time and the whole bench would print NaN
+    stats = jax.tree_util.tree_map_with_path(
+        lambda path, s: jnp.ones(s.shape, s.dtype)
+        if path and getattr(path[-1], "key", "") == "var"
+        else jnp.zeros(s.shape, s.dtype),
+        shapes.get("batch_stats", {}),
+    )
 
     # quantise the XLSR transformer projections (walks the whole AModel
     # tree; only q/k/v/out_proj/fc1/fc2 modules are transformed)
