@@ -215,3 +215,39 @@ def test_http_large_body_spooled_streaming(monkeypatch):
             # still errors cleanly
             code, payload = _post(base + "/score", b"\x07" * 4097)
             assert code == 400
+
+
+def test_decoded_size_cap(monkeypatch, tmp_path):
+    """Oversized decoded audio is rejected in both the in-memory and the
+    spooled decode paths (MAX_DECODED_SAMPLES guards serving RAM)."""
+    import pytest
+
+    from occm_tpu import serve_http
+
+    monkeypatch.setattr(serve_http, "MAX_DECODED_SAMPLES", 1000)
+
+    # raw PCM, in-memory path: 2000 samples > cap
+    body = np.zeros(2000, "<f4").tobytes()
+    with pytest.raises(ValueError, match="too long"):
+        serve_http.decode_request_audio(body, "16000")
+    # under the cap decodes fine
+    assert len(serve_http.decode_request_audio(
+        np.zeros(500, "<f4").tobytes(), "16000")) == 500
+
+    # spooled raw-PCM path
+    p = tmp_path / "big.spool"
+    p.write_bytes(np.zeros(2000, "<f4").tobytes())
+    with pytest.raises(ValueError, match="too long"):
+        serve_http.decode_spooled_audio(str(p), "16000")
+
+    # spooled WAV path (native or python fallback)
+    import wave as wave_mod
+
+    wp = tmp_path / "big.wav"
+    with wave_mod.open(str(wp), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(np.zeros(2000, "<i2").tobytes())
+    with pytest.raises(ValueError, match="too long"):
+        serve_http.decode_spooled_audio(str(wp), None)

@@ -54,7 +54,9 @@ def main():
             gelu_approximate=fast,
             conv_gelu_approximate=fast,
             quant_int8=int8,
-            remat=False,
+            # keep the default remat: forward-only cost is identical, and
+            # the non-remat 24-layer graph is heavy enough to break the
+            # remote compile tunnel (measured r3)
         )
 
     # shape-correct zero params (cheap; throughput is params-independent,
@@ -67,14 +69,16 @@ def main():
             x,
         )
     )
-    key = jax.random.PRNGKey(1)
+    # fabricate params on the HOST (numpy): per-leaf jax.random on the
+    # device is hundreds of eager ~100 ms tunnel dispatches plus a 1.2 GB
+    # device_get before quantisation — numpy keeps it all local
+    gen_p = np.random.default_rng(1)
     leaves, treedef = jax.tree_util.tree_flatten(shapes["params"])
-    keys = jax.random.split(key, len(leaves))
     params = jax.tree_util.tree_unflatten(treedef, [
-        (jax.random.normal(k, s.shape, jnp.float32) * 0.02).astype(s.dtype)
+        (gen_p.standard_normal(s.shape) * 0.02).astype(s.dtype)
         if jnp.issubdtype(s.dtype, jnp.floating)
-        else jnp.zeros(s.shape, s.dtype)
-        for k, s in zip(keys, leaves)
+        else np.zeros(s.shape, s.dtype)
+        for s in leaves
     ])
     # batch_stats must stay VALID statistics, not noise: BatchNorm's
     # eval forward takes rsqrt(var + eps), so random zero-mean "variances"
@@ -104,12 +108,17 @@ def main():
         if stats:
             v["batch_stats"] = stats
 
-        fn = jax.jit(lambda w: model.apply(v, w, train=False))
-        emb, logits = fn(wave)
+        # variables must be jit ARGUMENTS, not closure captures: captured
+        # trees are baked into the HLO as constants, and shipping a 1.2 GB
+        # program through the remote-compile tunnel breaks the pipe.
+        # device_put once so the reps don't re-upload the numpy tree.
+        v = jax.device_put(v)
+        fn = jax.jit(lambda vv, w: model.apply(vv, w, train=False))
+        emb, logits = fn(v, wave)
         np.asarray(emb)  # force host read: compile + first run
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            emb, logits = fn(wave)
+            emb, logits = fn(v, wave)
         emb_h = np.asarray(emb)
         dt = time.perf_counter() - t0
         utt = args.batch * args.reps / dt
