@@ -74,6 +74,13 @@ class XLSRConfig:
     encoder_heads: int = 16
     conv_pos: int = 128          # positional conv kernel
     conv_pos_groups: int = 16
+    # positional-conv layout (same math, same checkpoint tree; see
+    # occm_tpu/ops/pos_conv.py and the DESIGN.md ledger):
+    #   "grouped"  XLA grouped conv (feature_group_count)
+    #   "batched"  groups folded into the batch dim (batch_group_count)
+    #   "s2d"      space-to-depth: T/8 positions x 8-tap channel blocks ->
+    #              512-deep per-group contraction (full MXU lanes)
+    pos_conv_impl: str = "grouped"
     layer_norm_first: bool = True
     dropout: float = 0.0
     out_dim: int = 1024          # SSLModel.out_dim (reference: models/xlsr.py:33)

@@ -90,6 +90,33 @@ class ConvFeatureExtractor(nn.Module):
         return h
 
 
+class PosConv(nn.Module):
+    """Relative positional conv embedding (fairseq SamePad grouped conv,
+    k=128, groups=16). Declares the identical {kernel, bias} tree as the
+    nn.Conv it replaces, and dispatches the layout by cfg.pos_conv_impl
+    (occm_tpu.ops.pos_conv: grouped | batched | s2d — same math,
+    parity-tested; measured ledger in DESIGN.md). Callers crop the output
+    to the input length (SamePad drops the trailing element for even k)."""
+
+    cfg: XLSRConfig
+
+    @nn.compact
+    def __call__(self, x):
+        from occm_tpu.ops.pos_conv import POS_CONV_IMPLS
+
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        c = cfg.encoder_embed_dim
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (cfg.conv_pos, c // cfg.conv_pos_groups, c), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        impl = POS_CONV_IMPLS[cfg.pos_conv_impl]
+        out = impl(x.astype(dt), kernel.astype(dt), cfg.conv_pos_groups)
+        return out + bias.astype(dt)
+
+
 class ProjParams(nn.Module):
     """Parameter-only twin of nn.Dense: declares the same {kernel, bias}
     tree but leaves the matmul to the caller, so q/k/v projections can be
@@ -362,16 +389,10 @@ class XLSREncoder(nn.Module):
             )(feats)
 
         # relative positional conv embedding (SamePad: even kernel drops the
-        # trailing element), grouped conv + GELU
-        pad = cfg.conv_pos // 2
-        pos = nn.Conv(
-            cfg.encoder_embed_dim, (cfg.conv_pos,),
-            padding=((pad, pad),),
-            feature_group_count=cfg.conv_pos_groups,
-            dtype=dt, name="pos_conv",
-        )(feats)
-        if cfg.conv_pos % 2 == 0:
-            pos = pos[:, : feats.shape[1], :]
+        # trailing element), grouped conv + GELU. pos_conv_impl picks the
+        # layout (same math, same checkpoint tree — occm_tpu.ops.pos_conv)
+        pos = PosConv(cfg, name="pos_conv")(feats)
+        pos = pos[:, : feats.shape[1], :]
         pos = jax.nn.gelu(pos, approximate=cfg.conv_gelu_approximate)
         x = feats + pos
 

@@ -227,3 +227,31 @@ def test_xla_merged_attention_identical():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(results["xla"][1], results["xla_merged"][1],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pos_conv_impls_identical():
+    """pos_conv_impl in {grouped, batched, s2d} is a layout-only change:
+    same checkpoint tree, same forward and gradients (ops/pos_conv.py)."""
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 3200)).astype(np.float32))
+    results = {}
+    trees = {}
+    for impl in ("grouped", "batched", "s2d"):
+        cfg = dataclasses.replace(XLSRConfig.tiny(), pos_conv_impl=impl)
+        enc = XLSREncoder(cfg)
+        p = enc.init({"params": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(0)}, x)
+        out = np.asarray(enc.apply(p, x))
+        g = jax.grad(lambda p: jnp.sum(jnp.square(enc.apply(p, x))))(p)
+        results[impl] = (out, np.asarray(
+            g["params"]["pos_conv"]["kernel"]))
+        trees[impl] = jax.tree_util.tree_structure(p)
+    assert trees["grouped"] == trees["batched"] == trees["s2d"]
+    for impl in ("batched", "s2d"):
+        # layout-only: tolerances cover fp reassociation of the contraction
+        np.testing.assert_allclose(results["grouped"][0], results[impl][0],
+                                   rtol=1e-4, atol=1e-5)
+        # the kernel grad accumulates the whole backward in a different
+        # association order; wrong MATH would show O(1) relative errors
+        np.testing.assert_allclose(results["grouped"][1], results[impl][1],
+                                   rtol=1e-3, atol=1e-4)
