@@ -54,6 +54,15 @@ def build_parser() -> argparse.ArgumentParser:
              "path — validate EER impact on your eval set before "
              "production use; default stays exact)")
     parser.add_argument(
+        "--quant_int8", action="store_true", default=False,
+        help="W8A8 int8 scoring: quantise the XLSR transformer "
+             "projections to per-channel int8 weights + dynamic per-row "
+             "int8 activations on the MXU (occm_tpu.ops.int8). Scoring "
+             "only — the checkpoint stays fp32 and is transformed at "
+             "load time. Embedding cosine vs exact ≈0.9996 "
+             "(tools/exp_int8_scoring.py); validate EER impact before "
+             "production use")
+    parser.add_argument(
         "--allow_random_init", action="store_true",
         help="proceed with random weights if checkpoint restore fails "
              "(testing only — a real scoring run must hard-fail)",
@@ -64,6 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    import dataclasses
+
     from occm_tpu.classify import BucketedEmbedder, OneClassScorer
     from occm_tpu.config import AASISTConfig, XLSRConfig
     from occm_tpu.data import ASVDataset
@@ -71,8 +82,6 @@ def main(argv=None):
 
     xlsr_cfg = XLSRConfig.tiny() if args.xlsr_tiny else XLSRConfig()
     if args.fast_numerics:
-        import dataclasses
-
         xlsr_cfg = dataclasses.replace(
             xlsr_cfg, norm_dtype="bfloat16", gelu_approximate=True,
             conv_gelu_approximate=True, bf16_param_mirror=True,
@@ -144,6 +153,19 @@ def main(argv=None):
             )
         print(f"WARNING: could not restore pretrained weights ({e}); "
               "using random init (--allow_random_init)")
+
+    if args.quant_int8:
+        # transform the restored fp32 tree into the quant_int8 layout and
+        # rebuild the model to match (init/restore above used the fp32
+        # layout — checkpoints are always fp32)
+        from occm_tpu.ops.int8 import quantize_params_int8
+
+        params = quantize_params_int8(params)
+        xlsr_cfg = dataclasses.replace(xlsr_cfg, quant_int8=True)
+        if separate:
+            model = SSLResNet34(xlsr_cfg=xlsr_cfg)
+        else:
+            model = AModel(AASISTConfig(), xlsr_cfg=xlsr_cfg)
 
     def embed_fn(x):
         v = {"params": params}

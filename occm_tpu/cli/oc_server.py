@@ -44,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--fast_numerics", action="store_true", default=False,
         help="bf16 norms + tanh GELU scoring (+50%% measured throughput; "
              "validate EER impact before production use)")
+    parser.add_argument(
+        "--quant_int8", action="store_true", default=False,
+        help="W8A8 int8 scoring: per-channel int8 weights + dynamic "
+             "per-row int8 activations on the MXU for the XLSR "
+             "transformer projections (occm_tpu.ops.int8). The fp32 "
+             "checkpoint is transformed at load time; embedding cosine "
+             "vs exact ≈0.9996. Validate EER impact before production")
     parser.add_argument("--allow_random_init", action="store_true",
                         help="serve random weights (testing only)")
     parser.add_argument("--no_warmup", action="store_true",
@@ -118,6 +125,17 @@ def main(argv=None, started_event=None):
                 f"{ckpt!r}: {e}"
             )
         print(f"WARNING: serving random init ({e}; --allow_random_init)")
+
+    if args.quant_int8:
+        # transform the restored fp32 tree into the quant_int8 layout and
+        # rebuild the model to match (init/restore above used fp32)
+        from occm_tpu.ops.int8 import quantize_params_int8
+
+        params = quantize_params_int8(params)
+        model = AModel(
+            AASISTConfig(),
+            xlsr_cfg=dataclasses.replace(xlsr_cfg, quant_int8=True),
+        )
 
     service = ScoringService(
         make_score_fn(model, params, batch_stats),

@@ -100,3 +100,26 @@ def test_oc_classifier_cli_end_to_end(tmp_path, monkeypatch):
         ]
     )
     assert len(read_comma_scores(score_file2)) == 4
+
+    # --quant_int8: same fp32 checkpoint, transformed to the W8A8 layout
+    # at load time (occm_tpu.ops.int8); scores stay finite and track the
+    # exact path (numerical accuracy itself is pinned in test_int8.py)
+    score_file3 = str(tmp_path / "scores3.txt")
+    oc_classifier.main(
+        [
+            "--pretrained-sslaasist", ckpt,
+            "--protocol_file", str(tmp_path / "train.txt"),
+            "--dataset_dir", str(train_dir),
+            "--eval_protocol_file", str(tmp_path / "eval.txt"),
+            "--eval_dataset_dir", str(eval_dir),
+            "--mode", "1c2",
+            "--score_file", score_file3,
+            "--batch_size", "2",
+            "--bucket_step", "3200",
+            "--xlsr_tiny",
+            "--quant_int8",
+        ]
+    )
+    scores_int8 = read_comma_scores(score_file3)
+    assert len(scores_int8) == 4
+    assert all(np.isfinite(scores_int8))

@@ -7,6 +7,7 @@ import urllib.request
 import wave as wave_mod
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -131,8 +132,11 @@ def test_http_server_end_to_end():
             assert server.scored == 3
 
 
-def test_oc_server_cli_end_to_end(tmp_path, monkeypatch):
-    """occm-serve CLI: artifacts + tiny model -> live HTTP scoring."""
+@pytest.mark.parametrize("extra_flags", [[], ["--quant_int8"]],
+                         ids=["fp32", "int8"])
+def test_oc_server_cli_end_to_end(tmp_path, monkeypatch, extra_flags):
+    """occm-serve CLI: artifacts + tiny model -> live HTTP scoring
+    (fp32 and the W8A8 --quant_int8 load-time transform)."""
     rng = np.random.default_rng(3)
     np.save(tmp_path / "reference_embedding.npy",
             rng.normal(size=160).astype(np.float32))
@@ -150,7 +154,7 @@ def test_oc_server_cli_end_to_end(tmp_path, monkeypatch):
             "--host", "127.0.0.1", "--port", "0",
             "--xlsr_tiny", "--allow_random_init",
             "--batch_size", "2", "--buckets", str(CUT), "--no_warmup",
-        ], started),
+        ] + extra_flags, started),
         daemon=True,
     )
     t.start()
