@@ -226,17 +226,55 @@ def detect_format(sd: Mapping[str, "np.ndarray"]) -> str:
     return "fairseq"
 
 
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Read a .safetensors file into a {name: numpy} dict.
+
+    Pure-numpy reader for the simple safetensors layout (8-byte LE header
+    length + JSON header + raw little-endian tensor bytes), so HF
+    `wav2vec2-xls-r-300m` snapshots that ship only `model.safetensors`
+    convert without torch in the loop. Falls back to the safetensors
+    package only for dtypes numpy can't map (none in wav2vec2 ckpts)."""
+    import json
+
+    _DTYPES = {
+        "F64": np.float64, "F32": np.float32, "F16": np.float16,
+        "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+        "U8": np.uint8, "BOOL": np.bool_,
+    }
+    with open(path, "rb") as f:
+        n = int.from_bytes(f.read(8), "little")
+        header = json.loads(f.read(n))
+        data = f.read()
+    out = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        dt = _DTYPES.get(meta["dtype"])
+        if dt is None:  # e.g. BF16 — no native numpy dtype
+            from safetensors.numpy import load_file
+
+            return dict(load_file(path))
+        b0, b1 = meta["data_offsets"]
+        out[name] = np.frombuffer(
+            data[b0:b1], dtype=np.dtype(dt).newbyteorder("<")
+        ).reshape(meta["shape"])
+    return out
+
+
 def convert_checkpoint_file(pt_path: str, out_path: str,
                             cfg: XLSRConfig = XLSRConfig(),
                             fmt: str = "auto") -> None:
-    """CLI core: load a fairseq or HF .pt with torch, convert, save with
-    orbax."""
-    import torch
+    """CLI core: load a fairseq/HF .pt (torch pickle) or a HF
+    .safetensors file, convert, save with orbax."""
+    if pt_path.endswith(".safetensors"):
+        sd = load_safetensors(pt_path)
+    else:
+        import torch
 
-    state = torch.load(pt_path, map_location="cpu", weights_only=False)
-    sd = state.get("model", state)
-    if hasattr(sd, "state_dict"):  # a pickled nn.Module
-        sd = sd.state_dict()
+        state = torch.load(pt_path, map_location="cpu", weights_only=False)
+        sd = state.get("model", state)
+        if hasattr(sd, "state_dict"):  # a pickled nn.Module
+            sd = sd.state_dict()
     if fmt == "auto":
         fmt = detect_format(sd)
     if fmt == "hf":
@@ -254,7 +292,8 @@ def main(argv=None):  # pragma: no cover - thin CLI
 
     ap = argparse.ArgumentParser(
         description="Convert a fairseq (xlsr2_300m.pt) or HuggingFace "
-        "(wav2vec2-xls-r-300m) wav2vec2 checkpoint to occm_tpu params"
+        "(wav2vec2-xls-r-300m) wav2vec2 checkpoint — torch pickle or "
+        ".safetensors — to occm_tpu params"
     )
     ap.add_argument("pt_path")
     ap.add_argument("out_path")

@@ -208,3 +208,38 @@ def test_generalised_tool_oracle_matches_flax_on_tiny():
         XLSREncoder(CFG).apply({"params": params}, jnp.asarray(wave))
     )
     np.testing.assert_allclose(ours, oracle, atol=2e-4)
+
+
+def test_safetensors_checkpoint_converts(tmp_path):
+    """A .safetensors checkpoint file converts byte-identically to the
+    in-memory dict path: the pure-numpy reader (convert_xlsr.
+    load_safetensors) + convert_checkpoint_file end-to-end. HF XLS-R
+    snapshots often ship only model.safetensors — this is the torch-free
+    unblock path for the real checkpoint (VERDICT r2 item 1)."""
+    from safetensors.numpy import save_file
+
+    import orbax.checkpoint as ocp
+
+    from occm_tpu.models.convert_xlsr import (
+        convert_checkpoint_file, load_safetensors)
+
+    sd = {k: np.ascontiguousarray(v.numpy())
+          for k, v in _tiny_fairseq_sd(seed=11).items()}
+    st_path = tmp_path / "ckpt.safetensors"
+    save_file(sd, str(st_path))
+
+    # reader roundtrip is exact
+    loaded = load_safetensors(str(st_path))
+    assert set(loaded) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(loaded[k], sd[k])
+
+    # file-level conversion (auto-detects fairseq naming) == dict-level
+    out = tmp_path / "params"
+    convert_checkpoint_file(str(st_path), str(out), cfg=CFG)
+    restored = ocp.StandardCheckpointer().restore(str(out))
+    expected = convert_fairseq_state_dict(sd, CFG)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        restored, expected)
