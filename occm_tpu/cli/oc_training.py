@@ -78,8 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--fast_numerics", action="store_true", default=False,
         help="bench-validated TPU-fast config: bf16 norms + tanh GELU "
              "(transformer AND conv extractor), bf16 parameter mirror, "
-             "'attn_out' remat — +32%% measured on v5e, trajectory-"
+             "'attn_out_inner' remat — +32%% measured on v5e, trajectory-"
              "equivalent at tiny scale (tests/test_fast_numerics.py)")
+    parser.add_argument(
+        "--pos_conv_impl", type=str, default="grouped",
+        choices=("grouped", "batched", "s2d"),
+        help="layout of the positional conv (same math, same checkpoint "
+             "tree — occm_tpu.ops.pos_conv; measured ledger in DESIGN.md)")
     parser.add_argument(
         "--steps_per_dispatch", type=int, default=1,
         help="scan k optimizer steps per device dispatch (amortises the "
@@ -172,7 +177,11 @@ def main(argv=None):
         xlsr_cfg = dataclasses.replace(
             xlsr_cfg, norm_dtype="bfloat16", gelu_approximate=True,
             conv_gelu_approximate=True, bf16_param_mirror=True,
-            remat_policy="attn_out",
+            remat_policy="attn_out_inner",
+        )
+    if args.pos_conv_impl != "grouped":
+        xlsr_cfg = dataclasses.replace(
+            xlsr_cfg, pos_conv_impl=args.pos_conv_impl
         )
     if args.feature_grad_mult != 1.0:
         xlsr_cfg = dataclasses.replace(
