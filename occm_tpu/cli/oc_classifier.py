@@ -108,7 +108,8 @@ def main(argv=None):
             else [ckpt]
         )
         for path in to_check:
-            if not os.path.isdir(path):
+            if not (os.path.isdir(path) or
+                    (path.endswith(".pt") and os.path.isfile(path))):
                 raise SystemExit(
                     f"ERROR: could not restore pretrained weights: "
                     f"checkpoint {path!r} does not exist.\n"
@@ -125,16 +126,39 @@ def main(argv=None):
     batch_stats = variables.get("batch_stats", {})
 
     def _restore(path):
+        """orbax dir, or a reference-trained torch .pt state dict
+        (aasist_vocoded_*.pt / ssl_vocoded_*.pt / senet34_vocoded_*.pt,
+        reference: oc_training.py:401, test_dataloader_v2.py:144-145) —
+        converted on load via models/convert_backend.py."""
+        if path.endswith(".pt") and os.path.isfile(path):
+            from occm_tpu.models.convert_backend import (
+                convert_model_state_dict, load_torch_state_dict)
+
+            out = convert_model_state_dict(
+                load_torch_state_dict(path), xlsr_cfg=xlsr_cfg
+            )
+            out.pop("_kind", None)
+            return out
         return ocp.StandardCheckpointer().restore(os.path.abspath(path))
 
     try:
         if separate and args.pretrained_ssl and args.pretrained_senet:
             # reference loads the two modules separately
             # (oc_classifier.py:340-342): XLSR params -> `frontend`,
-            # SE-ResNet params -> `resnet34`
+            # SE-ResNet params -> `resnet34`. Restores may be bare param
+            # trees or {"params","batch_stats"} dicts (torch imports).
+            def _split(restored):
+                if isinstance(restored, dict) and "params" in restored:
+                    return restored["params"], restored.get("batch_stats", {})
+                return restored, {}
+
             params = dict(params)
-            params["frontend"] = _restore(args.pretrained_ssl)
-            params["resnet34"] = _restore(args.pretrained_senet)
+            batch_stats = dict(batch_stats) if batch_stats else {}
+            params["frontend"], _ = _split(_restore(args.pretrained_ssl))
+            params["resnet34"], senet_stats = _split(
+                _restore(args.pretrained_senet))
+            if senet_stats:
+                batch_stats["resnet34"] = senet_stats
             print("Pretrained weights loaded")
         else:
             restored = _restore(ckpt)
