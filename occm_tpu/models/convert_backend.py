@@ -262,6 +262,37 @@ def convert_senet_state_dict(
     return {"params": params, "batch_stats": stats}
 
 
+def convert_ssl_resnet34_state_dict(
+    sd: Mapping[str, Any], xlsr_cfg: Optional[XLSRConfig] = None
+) -> Dict:
+    """Fused ``ssl_resnet34`` module state dict (keys ``frontend.model.*``
+    + ``resnet34.*``, reference: models/senet.py:162-170) ->
+    ``{"params", "batch_stats"}`` for ``occm_tpu.models.SSLResNet34``
+    (same submodule names: ``frontend`` / ``resnet34``)."""
+    sd = _strip_prefix(sd, "module.")
+    ssl_sd = {
+        k[len("frontend.model."):]: v
+        for k, v in sd.items() if k.startswith("frontend.model.")
+    }
+    resnet_sd = {
+        k[len("resnet34."):]: v
+        for k, v in sd.items() if k.startswith("resnet34.")
+    }
+    if len(ssl_sd) + len(resnet_sd) != len(sd):
+        extra = [k for k in sd if not k.startswith(("frontend.model.",
+                                                    "resnet34."))]
+        raise ValueError(f"unconverted ssl_resnet34 keys: {extra[:8]}")
+    resnet = convert_senet_state_dict(resnet_sd)
+    return {
+        "params": {
+            "frontend": convert_fairseq_state_dict(
+                ssl_sd, xlsr_cfg or XLSRConfig()),
+            "resnet34": resnet["params"],
+        },
+        "batch_stats": {"resnet34": resnet["batch_stats"]},
+    }
+
+
 def convert_ssl_state_dict(
     sd: Mapping[str, Any], xlsr_cfg: Optional[XLSRConfig] = None
 ) -> Dict:
@@ -540,6 +571,9 @@ def detect_model_kind(sd: Mapping[str, Any]) -> str:
     probe = {k.split("module.", 1)[-1] for k in keys}
     if any(k.startswith("ssl_model.") for k in probe) or "pos_S" in probe:
         return "amodel"
+    if any(k.startswith("frontend.model.") for k in probe) and any(
+            k.startswith("resnet34.") for k in probe):
+        return "ssl_resnet34"
     if any(k.startswith("layer4.") for k in probe) and "embedding.weight" in probe:
         return "senet"
     if any(k.startswith("fc3.") for k in probe) and any(
@@ -568,6 +602,8 @@ def convert_model_state_dict(sd: Mapping[str, Any],
         "senet": lambda: convert_senet_state_dict(sd),
         "lcnn": lambda: convert_lcnn_state_dict(sd),
         "ssl": lambda: convert_ssl_state_dict(sd, xlsr_cfg=xlsr_cfg),
+        "ssl_resnet34": lambda: convert_ssl_resnet34_state_dict(
+            sd, xlsr_cfg=xlsr_cfg),
     }[kind]
     out = fn()
     out["_kind"] = kind
@@ -619,7 +655,8 @@ def main(argv=None):  # pragma: no cover - thin CLI
     ap.add_argument("pt_path")
     ap.add_argument("out_path")
     ap.add_argument("--kind", default="auto",
-                    choices=("auto", "amodel", "senet", "lcnn", "ssl"))
+                    choices=("auto", "amodel", "senet", "lcnn", "ssl",
+                             "ssl_resnet34"))
     ap.add_argument("--tiny", action="store_true",
                     help="convert against XLSRConfig.tiny() (test ckpts)")
     args = ap.parse_args(argv)

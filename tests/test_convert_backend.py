@@ -211,6 +211,36 @@ def test_detect_model_kind():
     assert out["_kind"] == "senet"
 
 
+def test_ssl_resnet34_fused_import_matches_init_structure():
+    """Fused ssl_resnet34 state dict (frontend.model.* + resnet34.*,
+    reference models/senet.py:162-170) -> SSLResNet34 variables."""
+    from occm_tpu.models import SSLResNet34
+    from occm_tpu.models.convert_backend import (
+        convert_ssl_resnet34_state_dict, export_xlsr_state_dict)
+
+    cfg = XLSRConfig.tiny()
+    model = SSLResNet34(xlsr_cfg=cfg)
+    x = jnp.zeros((1, 3200), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+
+    sd = {}
+    for k, v in export_xlsr_state_dict(
+            variables["params"]["frontend"], cfg).items():
+        sd[f"frontend.model.{k}"] = v
+    for k, v in export_senet_state_dict(
+            {"params": variables["params"]["resnet34"],
+             "batch_stats": variables["batch_stats"]["resnet34"]}).items():
+        sd[f"resnet34.{k}"] = v
+
+    assert detect_model_kind(sd) == "ssl_resnet34"
+    back = convert_ssl_resnet34_state_dict(sd, xlsr_cfg=cfg)
+    _tree_eq(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        back,
+    )
+
+
 def test_linear_orientation_matches_torch():
     """_linear/_conv2d transposes must match torch F.linear/F.conv2d —
     a pure roundtrip can't catch a matched pair of wrong transposes."""
