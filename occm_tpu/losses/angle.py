@@ -29,6 +29,7 @@ def angle_loss(
     gamma: float = 0.0,
     lambda_min: float = 5.0,
     lambda_max: float = 1500.0,
+    weights: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, AngleLossState]:
     """Annealed angular-margin cross entropy.
 
@@ -51,5 +52,12 @@ def angle_loss(
     logpt = jnp.take_along_axis(logpt, target[:, None], axis=1)[:, 0]
     pt = jax.lax.stop_gradient(jnp.exp(logpt))
 
-    loss = jnp.mean(-((1.0 - pt) ** gamma) * logpt)
+    per_sample = -((1.0 - pt) ** gamma) * logpt
+    if weights is None:
+        loss = jnp.mean(per_sample)
+    else:
+        # 0/1 sample mask (multi-host tail padding): weighted mean equals
+        # the plain mean over the weight-1 samples
+        w = weights.astype(per_sample.dtype)
+        loss = jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
     return loss, AngleLossState(it=it)

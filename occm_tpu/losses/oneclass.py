@@ -42,13 +42,20 @@ def compactness_loss(batch_embeddings: jnp.ndarray, num_bona: int = 6
     return jnp.mean(dists)
 
 
-def descriptiveness_loss(logits: jnp.ndarray, labels: jnp.ndarray
-                         ) -> jnp.ndarray:
+def descriptiveness_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                         weights: jnp.ndarray = None) -> jnp.ndarray:
     """Mean cross-entropy over the batch
-    (reference: losses/custom_loss.py:78-99: sum of per-sample CE / batch)."""
+    (reference: losses/custom_loss.py:78-99: sum of per-sample CE / batch).
+
+    weights: optional [B] 0/1 sample mask — the weighted mean equals the
+    plain mean over the weight-1 samples. Used by the multi-host tail
+    padding (train/loop.py) so padded utterances contribute nothing."""
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
-    return jnp.sum(nll) / logits.shape[0]
+    if weights is None:
+        return jnp.sum(nll) / logits.shape[0]
+    w = weights.astype(nll.dtype)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def triplet_loss(batch_embeddings: jnp.ndarray, margin: float = 9.0

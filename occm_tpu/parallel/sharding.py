@@ -80,30 +80,65 @@ def opt_state_shardings(opt_state: Any, params: Any, p_shardings: Any,
     return jax.tree_util.tree_unflatten(treedef, placed)
 
 
+def put_global(x: Any, sharding: NamedSharding) -> Any:
+    """Place host data that is IDENTICAL on every process (params, opt
+    moments, replicated scalars) onto a possibly multi-process sharding.
+
+    Single-process this is jax.device_put. Multi-process, device_put cannot
+    target non-addressable devices, so each process donates its local shards
+    through make_array_from_callback — every host holds the full value, so
+    any index can be served locally (the standard pod-init pattern; the
+    reference never leaves one host, torch DataParallel
+    oc_training.py:328)."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
+def make_global_batch(batch: Any, mesh: Mesh, spec: P) -> Any:
+    """Assemble a global array from per-process LOCAL input shards.
+
+    Each host's input pipeline yields only its own slice of the global
+    batch (MetaBatchPipeline shard_index/shard_count); here those slices
+    become one global jax.Array sharded by `spec`. Single-process this is
+    a plain device_put (the local slice IS the global batch)."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch
+        )
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+    )
+
+
 def place_state_on_mesh(state: Any, mesh: Mesh) -> Any:
     """Device-put a TrainState: params per TP rules, opt state matching the
-    params, BN stats / step replicated."""
+    params, BN stats / step replicated. Works single- and multi-process
+    (every process initialises the identical state from the same seed)."""
     shardings = param_shardings(state.params, mesh)
     rep = NamedSharding(mesh, P())
     opt_sh = opt_state_shardings(state.opt_state, state.params, shardings,
                                  mesh)
     return state.replace(
-        step=jax.device_put(state.step, rep),
-        params=jax.tree_util.tree_map(jax.device_put, state.params,
-                                      shardings),
+        step=put_global(state.step, rep),
+        params=jax.tree_util.tree_map(put_global, state.params, shardings),
         batch_stats=jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, rep), state.batch_stats
+            lambda x: put_global(x, rep), state.batch_stats
         ),
         opt_state=jax.tree_util.tree_map(
-            lambda x, s: jax.device_put(x, s) if hasattr(x, "shape") else x,
+            lambda x, s: put_global(x, s) if hasattr(x, "shape") else x,
             state.opt_state, opt_sh,
         ),
     )
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place a host batch with its leading axis split over dp."""
-    sharding = NamedSharding(mesh, P("dp"))
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+    """Place a host batch with its leading axis split over dp. Multi-process,
+    the input is this host's local slice of the global batch."""
+    return make_global_batch(batch, mesh, P("dp"))

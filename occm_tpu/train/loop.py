@@ -36,14 +36,23 @@ from occm_tpu.utils.logging import MetricsLogger
 
 
 def group_one_class_loss(emb, logits, labels, cw: float, dw: float,
-                         meta_batch: int = 12):
+                         meta_batch: int = 12, weights=None):
     """Per-meta-batch compactness + global descriptiveness.
 
-    emb [G*12, D], logits [G*12, 2], labels [G*12]."""
+    emb [G*12, D], logits [G*12, 2], labels [G*12].
+
+    weights: optional [G*12] 0/1 utterance mask, constant within each
+    meta-batch — masks out the repeat-padded groups of a multi-host ragged
+    tail so the weighted means equal the plain means over the real groups."""
     g = emb.shape[0] // meta_batch
     emb_g = emb.reshape(g, meta_batch, -1)
-    c_loss = jnp.mean(jax.vmap(compactness_loss)(emb_g))
-    d_loss = descriptiveness_loss(logits, labels)
+    c_per_group = jax.vmap(compactness_loss)(emb_g)
+    if weights is None:
+        c_loss = jnp.mean(c_per_group)
+    else:
+        w_g = weights.reshape(g, meta_batch)[:, 0].astype(c_per_group.dtype)
+        c_loss = jnp.sum(c_per_group * w_g) / jnp.maximum(jnp.sum(w_g), 1.0)
+    d_loss = descriptiveness_loss(logits, labels, weights)
     return cw * c_loss + dw * d_loss, (c_loss, d_loss)
 
 
@@ -62,17 +71,16 @@ def make_multi_step(cfg: TrainConfig, n_steps: int,
 
     @partial(jax.jit, donate_argnums=(0,))
     def multi_step(state: TrainState, batches, rng):
-        xs, labels = batches
+        # batches: (xs, labels) or (xs, labels, weights), each [n_steps, ...]
 
         def body(carry, inp):
             state, rng = carry
             rng, step_rng = jax.random.split(rng)
-            x_i, lab_i = inp
-            state, metrics = step_body(state, (x_i, lab_i), step_rng)
+            state, metrics = step_body(state, inp, step_rng)
             return (state, rng), metrics
 
         (state, _), metrics = jax.lax.scan(
-            body, (state, rng), (xs, labels)
+            body, (state, rng), tuple(batches)
         )
         return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
@@ -95,7 +103,10 @@ def make_train_step(cfg: TrainConfig, apply_rawboost: bool = False,
 def _train_step_body(cfg: TrainConfig, apply_rawboost: bool,
                      output_kind: str) -> Callable:
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:
-        x, labels = batch
+        # batch: (x, labels) or (x, labels, weights) — weights is the 0/1
+        # utterance mask of a repeat-padded multi-host ragged tail
+        x, labels = batch[0], batch[1]
+        weights = batch[2] if len(batch) == 3 else None
         rb_rng, drop_rng = jax.random.split(rng)
         if apply_rawboost and cfg.rawboost.algo != 0:
             x = batch_rawboost(rb_rng, x, cfg.rawboost)
@@ -114,7 +125,7 @@ def _train_step_body(cfg: TrainConfig, apply_rawboost: bool,
                 loss, (c_loss, d_loss) = group_one_class_loss(
                     emb, logits, labels,
                     cfg.compactness_weight, cfg.descriptiveness_weight,
-                    cfg.meta_batch,
+                    cfg.meta_batch, weights,
                 )
             elif output_kind == "occm":
                 # dual-branch OCCM (reference: models/occm.py:48-67 returns
@@ -126,9 +137,9 @@ def _train_step_body(cfg: TrainConfig, apply_rawboost: bool,
                 loss_s, (c_loss, d_s) = group_one_class_loss(
                     emb, senet_logits, labels,
                     cfg.compactness_weight, cfg.descriptiveness_weight,
-                    cfg.meta_batch,
+                    cfg.meta_batch, weights,
                 )
-                d_l = descriptiveness_loss(lcnn_logits, labels)
+                d_l = descriptiveness_loss(lcnn_logits, labels, weights)
                 d_loss = 0.5 * (d_s + d_l)
                 loss = (cfg.compactness_weight * c_loss
                         + cfg.descriptiveness_weight * d_loss)
@@ -141,12 +152,13 @@ def _train_step_body(cfg: TrainConfig, apply_rawboost: bool,
                 d_loss, _ = angle_loss(
                     out, labels,
                     AngleLossState(it=state.step.astype(jnp.int32)),
+                    weights=weights,
                 )
                 c_loss = jnp.zeros(())
                 loss = cfg.descriptiveness_weight * d_loss
             else:
                 logits = out
-                d_loss = descriptiveness_loss(logits, labels)
+                d_loss = descriptiveness_loss(logits, labels, weights)
                 c_loss = jnp.zeros(())
                 loss = cfg.descriptiveness_weight * d_loss
             new_stats = mutated.get("batch_stats", state.batch_stats) \
@@ -278,18 +290,46 @@ def train(
     def _device_batches(epoch):
         """Double-buffer the host->device upload: issue the (async)
         device_put for batch i+1 before the consumer dispatches the step on
-        batch i, so the H2D transfer rides under device compute."""
+        batch i, so the H2D transfer rides under device compute.
+
+        Multi-process (pod) mode: every host feeds its local pipeline shard
+        into global arrays (parallel/sharding.py make_global_batch). Ragged
+        tails are repeat-padded to the full local shape with a 0/1 weight
+        mask instead of replicated — per-host tails hold DIFFERENT data, so
+        single-host replication semantics cannot apply, and fixed shapes
+        keep every host on one compiled program."""
+        import numpy as np
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
-        chunk_sh = NamedSharding(mesh, P(None, "dp"))
+        from occm_tpu.parallel.sharding import make_global_batch
+
         dp_size = mesh.shape.get("dp", 1)
+        n_proc = jax.process_count()
+        local_full = (cfg.groups_per_step * cfg.meta_batch) \
+            if n_proc > 1 else None
         pending_item = None
         for kind, x, labels in _batches(epoch):
             if kind == "chunk":
                 # chunked [k, B, T]: batch axis (dp) is axis 1
-                item = kind, (jax.device_put(x, chunk_sh),
-                              jax.device_put(labels, chunk_sh))
+                item = kind, make_global_batch((x, labels), mesh,
+                                               P(None, "dp"))
+            elif n_proc > 1:
+                x = np.asarray(x)
+                labels = np.asarray(labels, np.int32)
+                m = x.shape[0]
+                w = np.ones((m,), np.float32)
+                if m != local_full:
+                    # repeat whole meta-batches (12-row blocks) to the full
+                    # local shape; weights zero-out the padding so the
+                    # update equals the mean over the real groups
+                    reps = -(-local_full // m)
+                    x = np.concatenate([x] * reps)[:local_full]
+                    labels = np.concatenate([labels] * reps)[:local_full]
+                    w = np.concatenate(
+                        [w, np.zeros((local_full - m,), np.float32)]
+                    )
+                item = kind, make_global_batch((x, labels, w), mesh, P("dp"))
             elif x.shape[0] % dp_size:
                 # ragged tail smaller than the dp axis: replicate instead of
                 # shard — every device computes the same gradients, the

@@ -235,3 +235,78 @@ def test_chunk_batches_preserves_data_order():
     assert order == [0, 1, 2, 3, 4, 5]
     # the ragged one is the 7-row batch
     assert out[2][1].shape[0] == 7
+
+
+def test_weighted_group_loss_equals_plain_over_real_groups():
+    """The 0/1 weight mask (multi-host ragged-tail padding) must make the
+    weighted means equal the plain means over the weight-1 groups only."""
+    rng = np.random.default_rng(3)
+    emb = jnp.asarray(rng.normal(size=(24, 160)).astype(np.float32))
+    logits = jnp.asarray(rng.normal(size=(24, 2)).astype(np.float32))
+    labels = jnp.asarray(np.tile(np.array([0] * 6 + [1] * 6, np.int32), 2))
+    w = jnp.asarray(np.array([1.0] * 12 + [0.0] * 12, np.float32))
+
+    loss_w, (c_w, d_w) = group_one_class_loss(
+        emb, logits, labels, 0.1, 0.9, weights=w
+    )
+    loss_1, (c_1, d_1) = group_one_class_loss(
+        emb[:12], logits[:12], labels[:12], 0.1, 0.9
+    )
+    assert float(c_w) == pytest.approx(float(c_1), rel=1e-6)
+    assert float(d_w) == pytest.approx(float(d_1), rel=1e-6)
+    assert float(loss_w) == pytest.approx(float(loss_1), rel=1e-6)
+
+    # all-ones weights == no weights
+    ones = jnp.ones((24,), jnp.float32)
+    loss_o, _ = group_one_class_loss(emb, logits, labels, 0.1, 0.9,
+                                     weights=ones)
+    loss_p, _ = group_one_class_loss(emb, logits, labels, 0.1, 0.9)
+    assert float(loss_o) == pytest.approx(float(loss_p), rel=1e-6)
+
+
+def test_padded_tail_step_equals_ragged_step_without_bn():
+    """A repeat-padded + zero-weighted tail batch must produce the exact
+    same update as the plain ragged batch for a BatchNorm-free model (for
+    BN models the running stats see the repeated samples — the documented
+    multi-host deviation in DESIGN.md)."""
+    import flax.linen as nn
+
+    from occm_tpu.models import XLSREncoder
+
+    xcfg = XLSRConfig.tiny()
+
+    class DualHead(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            feats = XLSREncoder(xcfg, name="ssl")(x, train=train)
+            pooled = jnp.mean(feats, axis=1)
+            emb = nn.Dense(16, name="emb")(pooled)
+            return emb, nn.Dense(2, name="head")(emb)
+
+    cfg = TrainConfig(
+        lr=1e-3, cut=CUT, compactness_weight=0.1,
+        descriptiveness_weight=0.9, rawboost=RawBoostConfig(algo=0),
+    )
+    model = DualHead()
+    rng = jax.random.PRNGKey(0)
+    gen = np.random.default_rng(5)
+    x = jnp.asarray(gen.normal(size=(12, CUT)).astype(np.float32) * 0.1)
+    labels = jnp.asarray(np.array([0] * 6 + [1] * 6, np.int32))
+    step = make_train_step(cfg, output_kind="dual")
+
+    # ragged single-group batch
+    state_a = create_train_state(model, rng, x, optax.adam(cfg.lr))
+    state_a, m_a = step(state_a, (x, labels), jax.random.PRNGKey(2))
+
+    # repeat-padded to two groups, second group zero-weighted
+    x_pad = jnp.concatenate([x, x])
+    lab_pad = jnp.concatenate([labels, labels])
+    w = jnp.asarray(np.array([1.0] * 12 + [0.0] * 12, np.float32))
+    state_b = create_train_state(model, rng, x, optax.adam(cfg.lr))
+    state_b, m_b = step(state_b, (x_pad, lab_pad, w), jax.random.PRNGKey(2))
+
+    assert float(m_b["loss"]) == pytest.approx(float(m_a["loss"]), rel=1e-5)
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   rtol=1e-4, atol=1e-6)
