@@ -240,11 +240,22 @@ def _se_block(sd: _SD, key: str) -> Tuple[Dict, Dict]:
 
 
 def convert_senet_state_dict(
-    sd: Mapping[str, Any], layers: Tuple[int, ...] = (3, 4, 6, 3)
+    sd: Mapping[str, Any], layers: Optional[Tuple[int, ...]] = None
 ) -> Dict:
     """SE-ResNet checkpoint (``senet34_vocoded_{epoch}.pt``) ->
-    ``{"params", "batch_stats"}`` for ``occm_tpu.models.senet.SEResNet``."""
+    ``{"params", "batch_stats"}`` for ``occm_tpu.models.senet.SEResNet``.
+
+    Stage depths default to what the checkpoint actually contains (so
+    se_resnet34 [3,4,6,3] and se_resnet12 [1,2,3,1] both convert)."""
     sd = _strip_prefix(sd, "module.")
+    if layers is None:
+        layers = tuple(
+            1 + max(
+                int(k.split(".")[1]) for k in sd
+                if k.startswith(f"layer{s}.")
+            )
+            for s in range(1, 5)
+        )
     v = _SD(sd)
     params: Dict = {"conv1": _conv2d(v, "conv1")}
     stats: Dict = {}

@@ -157,6 +157,21 @@ def test_senet_roundtrip_and_structure():
     assert com.shape == (2, 128) and des.shape == (2, 2)
 
 
+def test_senet12_layers_inferred_from_checkpoint():
+    from occm_tpu.models import se_resnet12
+
+    model = se_resnet12()
+    x = jnp.zeros((1, 33, 64, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    sd = export_senet_state_dict(variables, layers=(1, 2, 3, 1))
+    back = convert_senet_state_dict(sd)  # depths inferred from keys
+    _tree_eq(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        back,
+    )
+
+
 def test_lcnn_roundtrip_and_structure():
     model = LCNN(asoftmax=True)
     x = jnp.zeros((2, 40, 64, 1), jnp.float32)
