@@ -655,6 +655,102 @@ def convert_model_file(pt_path: str, out_path: str, kind: str = "auto",
     return kind
 
 
+def detect_params_kind(params: Mapping[str, Any]) -> str:
+    """Which exporter a Flax params tree belongs to (top-level names)."""
+    keys = set(params)
+    if {"ssl_model", "backend"} <= keys:
+        return "amodel"
+    if {"frontend", "resnet34"} <= keys:
+        return "ssl_resnet34"
+    if "layer1_mfm" in keys:
+        return "lcnn"
+    if "embedding" in keys and "classifier" in keys:
+        return "senet"
+    raise ValueError(
+        f"unrecognised params tree (top-level: {sorted(keys)[:8]})"
+    )
+
+
+def export_model_file(ckpt_path: str, out_pt: str, kind: str = "auto",
+                      xlsr_cfg: Optional[XLSRConfig] = None) -> str:
+    """Restore an orbax checkpoint (a converter save, a bare param tree,
+    or a full trainer checkpoint with params/batch_stats/opt_state) and
+    torch.save it under the reference's exact state-dict naming. Returns
+    the kind."""
+    import os
+
+    import orbax.checkpoint as ocp
+    import torch
+
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
+    if isinstance(restored, dict) and "params" in restored:
+        variables = {"params": restored["params"],
+                     "batch_stats": restored.get("batch_stats", {})}
+    else:
+        variables = {"params": restored, "batch_stats": {}}
+    if kind == "auto":
+        kind = detect_params_kind(variables["params"])
+    xlsr_cfg = xlsr_cfg or XLSRConfig()
+    if kind == "amodel":
+        sd = export_amodel_state_dict(variables, xlsr_cfg)
+    elif kind == "senet":
+        layers = tuple(
+            1 + max(int(k.split("_")[1]) for k in variables["params"]
+                    if k.startswith(f"layer{s}_"))
+            for s in range(1, 5)
+        )
+        sd = export_senet_state_dict(variables, layers=layers)
+    elif kind == "lcnn":
+        sd = export_lcnn_state_dict(variables)
+    elif kind == "ssl_resnet34":
+        sd = {}
+        for k, v in export_xlsr_state_dict(
+                variables["params"]["frontend"], xlsr_cfg).items():
+            sd[f"frontend.model.{k}"] = v
+        resnet_p = variables["params"]["resnet34"]
+        layers = tuple(
+            1 + max(int(k.split("_")[1]) for k in resnet_p
+                    if k.startswith(f"layer{s}_"))
+            for s in range(1, 5)
+        )
+        for k, v in export_senet_state_dict(
+                {"params": resnet_p,
+                 "batch_stats": variables["batch_stats"].get("resnet34", {})},
+                layers=layers).items():
+            sd[f"resnet34.{k}"] = v
+    else:
+        raise ValueError(f"unknown kind {kind!r}")
+    import numpy as _np
+
+    torch.save(
+        {k: torch.from_numpy(_np.ascontiguousarray(_np.asarray(v)))
+         for k, v in sd.items()},
+        out_pt,
+    )
+    return kind
+
+
+def main_export(argv=None):  # pragma: no cover - thin CLI
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Export an occm_tpu orbax checkpoint (trainer epoch dir "
+        "or converter output) to a reference-named torch .pt state dict"
+    )
+    ap.add_argument("ckpt_path")
+    ap.add_argument("out_pt")
+    ap.add_argument("--kind", default="auto",
+                    choices=("auto", "amodel", "senet", "lcnn",
+                             "ssl_resnet34"))
+    ap.add_argument("--tiny", action="store_true",
+                    help="export against XLSRConfig.tiny() (test ckpts)")
+    args = ap.parse_args(argv)
+    xlsr_cfg = XLSRConfig.tiny() if args.tiny else XLSRConfig()
+    kind = export_model_file(args.ckpt_path, args.out_pt, kind=args.kind,
+                             xlsr_cfg=xlsr_cfg)
+    print(f"exported {args.ckpt_path} ({kind}) -> {args.out_pt}")
+
+
 def main(argv=None):  # pragma: no cover - thin CLI
     import argparse
 

@@ -358,6 +358,38 @@ def test_classifier_cli_scores_from_reference_pt(tmp_path, monkeypatch):
     assert len(scores) == 2 and all(np.isfinite(scores))
 
 
+def test_export_model_file_roundtrips_trainer_checkpoint(tmp_path):
+    """occm-export-model: a TRAINER orbax epoch checkpoint (params +
+    batch_stats + opt_state + step, train/checkpoint.py) exports to a
+    reference-named .pt that re-imports to the identical tree — the
+    train-here / deploy-with-reference-tooling path."""
+    torch = pytest.importorskip("torch")
+    import optax
+
+    from occm_tpu.models.convert_backend import (
+        convert_model_state_dict, export_model_file, load_torch_state_dict)
+    from occm_tpu.train.checkpoint import save_checkpoint
+    from occm_tpu.train.state import create_train_state
+
+    model = AModel(AASISTConfig.tiny(), xlsr_cfg=XLSRConfig.tiny())
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((2, 3200), jnp.float32),
+        optax.adam(1e-4),
+    )
+    ckpt = save_checkpoint(state, str(tmp_path), "aasist_vocoded", 7)
+
+    pt = str(tmp_path / "exported.pt")
+    kind = export_model_file(ckpt, pt, xlsr_cfg=XLSRConfig.tiny())
+    assert kind == "amodel"
+
+    back = convert_model_state_dict(
+        load_torch_state_dict(pt), xlsr_cfg=XLSRConfig.tiny())
+    _tree_eq(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        {"params": back["params"], "batch_stats": back["batch_stats"]},
+    )
+
+
 def test_convert_model_file_and_classifier_pt_load(tmp_path):
     """File-level: torch.save a reference-named AModel state dict, convert
     via the CLI entry, and load the same .pt directly in oc_classifier."""
