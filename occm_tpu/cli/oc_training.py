@@ -71,8 +71,17 @@ def build_parser() -> argparse.ArgumentParser:
                         help="tiny XLSR config (CPU smoke runs)")
     parser.add_argument(
         "--pretrained_xlsr", type=str, default=None,
-        help="orbax params dir from occm-convert-xlsr (xlsr2_300m); grafted "
-             "into the SSL frontend before training",
+        help="orbax params dir from occm-convert-xlsr (xlsr2_300m), or the "
+             "raw fairseq/HF checkpoint itself (.pt/.safetensors — "
+             "converted in-memory); grafted into the SSL frontend before "
+             "training",
+    )
+    parser.add_argument(
+        "--init_from", type=str, default=None,
+        help="full-model warm start: an orbax checkpoint (trainer epoch "
+             "dir or occm-convert-model output) or a reference-trained "
+             "torch .pt (aasist_vocoded_*.pt etc.); params AND BatchNorm "
+             "stats are grafted, the optimizer starts fresh",
     )
     parser.add_argument(
         "--fast_numerics", action="store_true", default=False,
@@ -196,15 +205,36 @@ def main(argv=None):
         save_checkpoint(state, cfg.checkpoint_dir, prefix, epoch)
 
     param_graft = None
+    stats_graft = None
     if args.pretrained_xlsr:
         import os
 
-        import orbax.checkpoint as ocp
-
         frontend_scope = "ssl_model" if args.model == "aasist" else "frontend"
-        xlsr_params = ocp.StandardCheckpointer().restore(
-            os.path.abspath(args.pretrained_xlsr)
-        )
+        if args.pretrained_xlsr.endswith((".pt", ".safetensors")):
+            # raw fairseq/HF checkpoint: convert in-memory
+            from occm_tpu.models.convert_xlsr import (
+                convert_fairseq_state_dict, convert_hf_state_dict,
+                detect_format, load_safetensors)
+
+            if args.pretrained_xlsr.endswith(".safetensors"):
+                sd = load_safetensors(args.pretrained_xlsr)
+            else:
+                import torch
+
+                st = torch.load(args.pretrained_xlsr, map_location="cpu",
+                                weights_only=False)
+                sd = st.get("model", st)
+                if hasattr(sd, "state_dict"):
+                    sd = sd.state_dict()
+            conv = (convert_hf_state_dict if detect_format(sd) == "hf"
+                    else convert_fairseq_state_dict)
+            xlsr_params = conv(sd, xlsr_cfg)
+        else:
+            import orbax.checkpoint as ocp
+
+            xlsr_params = ocp.StandardCheckpointer().restore(
+                os.path.abspath(args.pretrained_xlsr)
+            )
 
         def param_graft(params):
             params = dict(params)
@@ -212,11 +242,38 @@ def main(argv=None):
             print(f"Grafted pretrained XLSR into '{frontend_scope}'")
             return params
 
+    elif args.init_from:
+        # full-model warm start (orbax dir or reference-trained .pt)
+        import os
+
+        if args.init_from.endswith(".pt"):
+            from occm_tpu.models.convert_backend import (
+                convert_model_state_dict, load_torch_state_dict)
+
+            restored = convert_model_state_dict(
+                load_torch_state_dict(args.init_from), xlsr_cfg=xlsr_cfg
+            )
+        else:
+            import orbax.checkpoint as ocp
+
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.abspath(args.init_from)
+            )
+
+        def param_graft(params):
+            print(f"Warm start from {args.init_from}")
+            return restored["params"]
+
+        if restored.get("batch_stats"):
+            def stats_graft(batch_stats):
+                return restored["batch_stats"]
+
     print("Training starts...")
     train(
         model, pipeline, cfg,
         checkpoint_fn=checkpoint_fn, output_kind=output_kind,
-        param_graft=param_graft, resume=args.resume,
+        param_graft=param_graft, stats_graft=stats_graft,
+        resume=args.resume,
     )
 
 

@@ -218,6 +218,7 @@ def train(
     num_epochs: Optional[int] = None,
     sample_input=None,
     param_graft: Optional[Callable] = None,
+    stats_graft: Optional[Callable] = None,
     resume: bool = False,
 ):
     """Full training driver (reference: oc_training.py:344-401 semantics).
@@ -225,7 +226,8 @@ def train(
     param_graft(params) -> params runs once after init — e.g. to graft the
     converted xlsr2_300m weights into the `ssl_model`/`frontend` scope (the
     reference instead loads fairseq weights at model construction,
-    models/xlsr.py:29-30).
+    models/xlsr.py:29-30). stats_graft(batch_stats) -> batch_stats does the
+    same for BatchNorm running stats (full-model warm starts, --init_from).
 
     resume=True restores the latest `{cfg.checkpoint_prefix}_{epoch}` orbax
     checkpoint from cfg.checkpoint_dir and continues at the next epoch —
@@ -253,6 +255,8 @@ def train(
         state = state.replace(
             params=new_params, opt_state=tx.init(new_params)
         )
+    if stats_graft is not None:
+        state = state.replace(batch_stats=stats_graft(state.batch_stats))
 
     start_epoch = 0
     if resume:
