@@ -239,6 +239,43 @@ class SelfAttention(nn.Module):
             # softmax(QK^T)V math bounds what any attention kernel can
             # recover). Never a valid training/serving config.
             out = v
+        elif cfg.attention_impl == "packed":
+            # head-PAIR block-diagonal packing: the MXU contracts 128 deep
+            # natively, so a 64-deep QK^T contraction idles half the array
+            # and the cost at this shape is per-dot issue overhead (the r3
+            # post-mortem, DESIGN.md). Packing q of two heads into a
+            # block-diagonal [2T, 2hd] against the pair's concatenated k
+            # computes BOTH heads' score matrices in ONE full-depth dot —
+            # exact same math, half the dot instances. PV is packed the
+            # same way ([T,2T] probs x blockdiag(v) -> [T,2hd]).
+            P = h // 2
+            q = q * (hd ** -0.5)
+            qh = q.transpose(0, 2, 1, 3).reshape(B, P, 2, T, hd)
+            kh = k.transpose(0, 2, 1, 3).reshape(B, P, 2, T, hd)
+            vh = v.transpose(0, 2, 1, 3).reshape(B, P, 2, T, hd)
+            kc = kh.transpose(0, 1, 3, 2, 4).reshape(B, P, T, 2 * hd)
+            pad4 = ((0, 0), (0, 0), (0, 0), (0, hd))
+            pad4b = ((0, 0), (0, 0), (0, 0), (hd, 0))
+            qp = jnp.concatenate(
+                [jnp.pad(qh[:, :, 0], pad4), jnp.pad(qh[:, :, 1], pad4b)],
+                axis=2,
+            )
+            logits = jnp.einsum(
+                "bpqd,bpkd->bpqk", qp, kc,
+                preferred_element_type=_norm_dtype(cfg),
+            )
+            probs = checkpoint_name(
+                jax.nn.softmax(logits, axis=-1), "attn_probs"
+            ).astype(dt)
+            pc = probs.reshape(B, P, 2, T, T).transpose(0, 1, 3, 2, 4)
+            pc = pc.reshape(B, P, T, 2 * T)
+            vp = jnp.concatenate(
+                [jnp.pad(vh[:, :, 0], pad4), jnp.pad(vh[:, :, 1], pad4b)],
+                axis=2,
+            )
+            out = jnp.einsum("bpqk,bpkd->bpqd", pc, vp)
+            out = out.reshape(B, P, T, 2, hd).transpose(0, 2, 1, 3, 4)
+            out = out.reshape(B, T, h, hd)
         elif cfg.attention_impl == "xla_merged":
             # same math as "xla" but with (B, H) flattened into ONE batch
             # dim for the two attention dots — gives XLA's convolution

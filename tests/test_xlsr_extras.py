@@ -198,9 +198,11 @@ def test_remat_policies_identical_forward_and_grad():
                                    err_msg=policy)
 
 
-def test_xla_merged_attention_identical():
-    """attention_impl="xla_merged" flattens (B,H) into one batch dim for
-    the attention dots — same math as "xla" (layout-only change)."""
+def test_attention_layouts_identical():
+    """attention_impl in {"xla_merged", "packed"} are layout-only changes:
+    xla_merged flattens (B,H) into one batch dim; packed computes each
+    HEAD PAIR's scores/PV in one block-diagonal full-depth dot
+    (tools/exp_packed_attention.py). Same math as "xla" in both cases."""
     import dataclasses
 
     import numpy as np
@@ -213,7 +215,7 @@ def test_xla_merged_attention_identical():
     x = jnp.asarray(
         np.random.default_rng(2).normal(size=(2, 3200)).astype(np.float32))
     results = {}
-    for impl in ("xla", "xla_merged"):
+    for impl in ("xla", "xla_merged", "packed"):
         cfg = dataclasses.replace(XLSRConfig.tiny(), attention_impl=impl)
         enc = XLSREncoder(cfg)
         p = enc.init({"params": jax.random.PRNGKey(0),
@@ -223,10 +225,11 @@ def test_xla_merged_attention_identical():
         results[impl] = (out, np.asarray(jax.tree_util.tree_leaves(g)[0]))
     # layout-only change, but a different contraction layout reassociates
     # the fp accumulation — tolerances cover reassociation, not math drift
-    np.testing.assert_allclose(results["xla"][0], results["xla_merged"][0],
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(results["xla"][1], results["xla_merged"][1],
-                               rtol=1e-4, atol=1e-5)
+    for impl in ("xla_merged", "packed"):
+        np.testing.assert_allclose(results["xla"][0], results[impl][0],
+                                   rtol=1e-4, atol=1e-5, err_msg=impl)
+        np.testing.assert_allclose(results["xla"][1], results[impl][1],
+                                   rtol=1e-4, atol=1e-5, err_msg=impl)
 
 
 def test_pos_conv_impls_identical():
