@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--vocoded_dir", type=str, default=None)
     parser.add_argument("--checkpoint_dir", type=str, default=".")
     parser.add_argument("--dp", type=int, default=-1)
+    parser.add_argument("--fsdp", type=int, default=1,
+                        help="ZeRO-3 degree: params + Adam moments "
+                             "shard over this many devices (batch "
+                             "shards over dp*fsdp)")
     parser.add_argument("--tp", type=int, default=1)
     parser.add_argument("--rawboost_algo", type=int, default=0,
                         help="0 disables (matches the reference's "
@@ -151,7 +155,7 @@ def main(argv=None):
         cut=args.cut,
         groups_per_step=args.groups_per_step,
         rawboost=RawBoostConfig(algo=args.rawboost_algo),
-        mesh=MeshConfig(dp=args.dp, tp=args.tp),
+        mesh=MeshConfig(dp=args.dp, fsdp=args.fsdp, tp=args.tp),
         checkpoint_dir=args.checkpoint_dir,
         wandb_project=args.wandb_project,
         steps_per_dispatch=args.steps_per_dispatch,

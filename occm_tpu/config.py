@@ -246,12 +246,15 @@ class MeshConfig:
     """Device-mesh / parallelism layout.
 
     The reference's only strategy is single-host DataParallel
-    (reference: oc_training.py:328). Here the batch ("meta-batch group") axis is
-    `dp` and tensor parallelism over the XLSR transformer is `tp`; both are
-    expressed as a `jax.sharding.Mesh` so XLA inserts ICI collectives.
+    (reference: oc_training.py:328). Here the batch ("meta-batch group") axis
+    is `dp`, ZeRO-3-style fully-sharded data parallelism (params + Adam
+    moments sharded, batch also sharded) is `fsdp`, and tensor parallelism
+    over the XLSR transformer is `tp`; all are expressed as one
+    `jax.sharding.Mesh` so XLA inserts ICI collectives.
     """
 
-    dp: int = -1   # -1: use all devices on the dp axis
+    dp: int = -1   # -1: use all remaining devices on the dp axis
+    fsdp: int = 1  # ZeRO-3 param/optimizer sharding degree
     tp: int = 1
 
 

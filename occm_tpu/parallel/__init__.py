@@ -1,7 +1,15 @@
-from occm_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
+from occm_tpu.parallel.mesh import (
+    batch_sharding,
+    data_axes,
+    data_parallel_size,
+    data_spec,
+    make_mesh,
+    replicated,
+)
 from occm_tpu.parallel.sharding import (
     opt_state_shardings,
     param_shardings,
+    train_state_shardings,
     place_state_on_mesh,
     shard_batch,
 )
@@ -9,9 +17,13 @@ from occm_tpu.parallel.sharding import (
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "data_axes",
+    "data_parallel_size",
+    "data_spec",
     "replicated",
     "opt_state_shardings",
     "param_shardings",
+    "train_state_shardings",
     "place_state_on_mesh",
     "shard_batch",
 ]

@@ -4,16 +4,23 @@ The reference's only parallelism is single-host torch DataParallel
 (reference: oc_training.py:328, oc_classifier.py:343,
 test_dataloader_v2.py:77-78) — replicate + scatter/gather over NCCL.
 
-TPU-native superset: one `jax.sharding.Mesh` with axes ("dp", "tp").
+TPU-native superset: one `jax.sharding.Mesh` with axes ("dp", "fsdp", "tp").
 - dp: meta-batch groups shard over chips; pjit-inserted all-reduce over ICI
   takes the role of DataParallel's gradient gather.
+- fsdp: ZeRO-3-style fully-sharded data parallelism — params and Adam
+  moments shard over this axis (parallel/sharding.py) while the batch
+  ALSO shards over it (an fsdp group is a data-parallel group whose
+  weights are gathered on the fly). GSPMD inserts the all-gather
+  (forward/backward) and reduce-scatter (gradients) over ICI. At 300M
+  params this divides the per-chip HBM for params+moments by the fsdp
+  degree — capability the torch reference lacks entirely.
 - tp: optional tensor parallelism over the XLSR transformer (heads/FFN) —
   additive, not a rewrite (SURVEY.md §2.3).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -28,19 +35,48 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     tp = max(1, cfg.tp)
-    dp = cfg.dp if cfg.dp > 0 else n // tp
-    if dp * tp != n:
+    fsdp = max(1, cfg.fsdp)
+    dp = cfg.dp if cfg.dp > 0 else n // (fsdp * tp)
+    if dp * fsdp * tp != n:
         raise ValueError(
-            f"mesh {dp}x{tp} does not cover {n} devices; "
-            "set MeshConfig.dp/tp to factor the device count"
+            f"mesh {dp}x{fsdp}x{tp} (dp x fsdp x tp) does not cover {n} "
+            "devices; set MeshConfig.dp/fsdp/tp to factor the device count"
         )
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    return Mesh(arr, axis_names=("dp", "fsdp", "tp"))
+
+
+def data_axes(mesh: Mesh) -> Tuple[str, ...]:
+    """Mesh axes the batch shards over: dp plus (when >1) fsdp — an fsdp
+    group is also a data-parallel group (its params are gathered; its data
+    is NOT replicated). Size-1 axes are dropped so specs stay readable and
+    meshes built without an fsdp axis (older tests, custom meshes) keep
+    working."""
+    return tuple(
+        a for a in ("dp", "fsdp")
+        if mesh.shape.get(a, 1) > 1
+    )
+
+
+def data_spec(mesh: Mesh, leading_none: int = 0) -> P:
+    """PartitionSpec placing a batch axis over the data axes, optionally
+    after `leading_none` unsharded leading axes (the k-dispatch chunk
+    stacks steps on axis 0)."""
+    axes = data_axes(mesh)
+    entry = axes[0] if len(axes) == 1 else (axes or None)
+    return P(*([None] * leading_none), entry)
+
+
+def data_parallel_size(mesh: Mesh) -> int:
+    n = 1
+    for a in data_axes(mesh):
+        n *= mesh.shape[a]
+    return n
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading batch axis over dp, replicated over tp."""
-    return NamedSharding(mesh, P("dp"))
+    """Leading batch axis over the data axes, replicated over tp."""
+    return NamedSharding(mesh, data_spec(mesh))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

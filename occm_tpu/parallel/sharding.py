@@ -39,18 +39,48 @@ def _path_str(path) -> str:
     )
 
 
+# Leaves smaller than this stay replicated under fsdp: sharding tiny
+# tensors trades negligible HBM for an all-gather dispatch each.
+FSDP_MIN_SIZE = 4096
+
+
+def _add_fsdp_axis(parts, shape, fsdp):
+    """Put "fsdp" on the largest still-unsharded axis divisible by the fsdp
+    degree (the axis choice is semantically free — GSPMD all-gathers before
+    use — so pick the one that divides the most bytes)."""
+    best = None
+    for i, (part, dim) in enumerate(zip(parts, shape)):
+        if part is None and dim % fsdp == 0 and dim >= fsdp:
+            if best is None or dim > shape[best]:
+                best = i
+    if best is None:
+        return parts
+    parts = list(parts)
+    parts[best] = "fsdp"
+    return tuple(parts)
+
+
 def param_shardings(params: Any, mesh: Mesh) -> Any:
-    """NamedSharding tree: TP rules on XLSR transformer weights, replicated
-    elsewhere. With tp=1 this degenerates to full replication (pure DP)."""
+    """NamedSharding tree: TP rules on XLSR transformer weights, then (when
+    the mesh has an fsdp axis >1) every large-enough leaf additionally
+    sharded ZeRO-3-style on its largest free axis. With tp=1 and fsdp=1
+    this degenerates to full replication (pure DP)."""
     tp_active = mesh.shape.get("tp", 1) > 1
+    fsdp = mesh.shape.get("fsdp", 1)
 
     def assign(path, leaf):
+        parts = (None,) * leaf.ndim
         if tp_active:
             p = _path_str(path)
             for substr, spec in _TP_RULES:
                 if substr in p and leaf.ndim == len(spec):
-                    return NamedSharding(mesh, spec)
-        return NamedSharding(mesh, P())
+                    parts = tuple(spec)
+                    break
+        if fsdp > 1 and leaf.size >= FSDP_MIN_SIZE:
+            parts = _add_fsdp_axis(parts, leaf.shape, fsdp)
+        if all(part is None for part in parts):
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(*parts))
 
     return jax.tree_util.tree_map_with_path(assign, params)
 
@@ -117,28 +147,48 @@ def make_global_batch(batch: Any, mesh: Mesh, spec: P) -> Any:
     )
 
 
-def place_state_on_mesh(state: Any, mesh: Mesh) -> Any:
-    """Device-put a TrainState: params per TP rules, opt state matching the
-    params, BN stats / step replicated. Works single- and multi-process
-    (every process initialises the identical state from the same seed)."""
+def train_state_shardings(state: Any, mesh: Mesh) -> Any:
+    """TrainState-structured NamedSharding tree: params per TP/fsdp rules,
+    opt state matching the params, BN stats / step replicated.
+
+    Pass this as `state_shardings` to make_train_step/make_multi_step so
+    the jitted step pins its OUTPUT state to the same placement — without
+    the constraint GSPMD propagation is free to emit a different (legal)
+    output sharding, which breaks the placement invariant and forces a
+    recompile on the next step when the donated input no longer matches."""
     shardings = param_shardings(state.params, mesh)
     rep = NamedSharding(mesh, P())
     opt_sh = opt_state_shardings(state.opt_state, state.params, shardings,
                                  mesh)
     return state.replace(
-        step=put_global(state.step, rep),
-        params=jax.tree_util.tree_map(put_global, state.params, shardings),
+        step=rep,
+        params=shardings,
         batch_stats=jax.tree_util.tree_map(
-            lambda x: put_global(x, rep), state.batch_stats
+            lambda x: rep, state.batch_stats
         ),
         opt_state=jax.tree_util.tree_map(
-            lambda x, s: put_global(x, s) if hasattr(x, "shape") else x,
+            lambda x, s: s if hasattr(x, "shape") else x,
             state.opt_state, opt_sh,
         ),
     )
 
 
+def place_state_on_mesh(state: Any, mesh: Mesh) -> Any:
+    """Device-put a TrainState: params per TP rules, opt state matching the
+    params, BN stats / step replicated. Works single- and multi-process
+    (every process initialises the identical state from the same seed)."""
+    shardings = train_state_shardings(state, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: put_global(x, s) if hasattr(x, "shape") else x,
+        state, shardings,
+    )
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place a host batch with its leading axis split over dp. Multi-process,
-    the input is this host's local slice of the global batch."""
-    return make_global_batch(batch, mesh, P("dp"))
+    """Place a host batch with its leading axis split over the data axes
+    (dp, and fsdp when >1 — an fsdp group is also a data-parallel group).
+    Multi-process, the input is this host's local slice of the global
+    batch."""
+    from occm_tpu.parallel.mesh import data_spec
+
+    return make_global_batch(batch, mesh, data_spec(mesh))

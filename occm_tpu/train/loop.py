@@ -30,7 +30,9 @@ import optax
 from occm_tpu.augment import batch_rawboost
 from occm_tpu.config import TrainConfig
 from occm_tpu.losses import compactness_loss, descriptiveness_loss
-from occm_tpu.parallel import make_mesh, place_state_on_mesh, shard_batch
+from occm_tpu.parallel import (
+    make_mesh, place_state_on_mesh, shard_batch, train_state_shardings,
+)
 from occm_tpu.train.state import TrainState, create_train_state
 from occm_tpu.utils.logging import MetricsLogger
 
@@ -56,9 +58,31 @@ def group_one_class_loss(emb, logits, labels, cw: float, dw: float,
     return cw * c_loss + dw * d_loss, (c_loss, d_loss)
 
 
+def _jit_step(fn: Callable, state_shardings) -> Callable:
+    """jit with donated state; when `state_shardings` (a TrainState-shaped
+    NamedSharding tree from parallel.train_state_shardings) is given, pin
+    the output state to it via out_shardings — otherwise GSPMD propagation
+    may legally emit a different output placement, breaking the
+    opt-state-stays-sharded invariant and recompiling on the next step
+    when the donated input sharding no longer matches the compiled one.
+    Metrics (scalars) are replicated."""
+    if state_shardings is None:
+        return partial(jax.jit, donate_argnums=(0,))(fn)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = next(
+        s.mesh for s in jax.tree_util.tree_leaves(state_shardings)
+        if hasattr(s, "mesh")
+    )
+    rep = NamedSharding(mesh, PartitionSpec())
+    return jax.jit(fn, donate_argnums=(0,),
+                   out_shardings=(state_shardings, rep))
+
+
 def make_multi_step(cfg: TrainConfig, n_steps: int,
                     apply_rawboost: bool = False,
-                    output_kind: str = "dual") -> Callable:
+                    output_kind: str = "dual",
+                    state_shardings=None) -> Callable:
     """lax.scan over n_steps stacked batches — the whole chunk runs on
     device with zero host round trips between steps.
 
@@ -69,7 +93,6 @@ def make_multi_step(cfg: TrainConfig, n_steps: int,
     """
     step_body = _train_step_body(cfg, apply_rawboost, output_kind)
 
-    @partial(jax.jit, donate_argnums=(0,))
     def multi_step(state: TrainState, batches, rng):
         # batches: (xs, labels) or (xs, labels, weights), each [n_steps, ...]
 
@@ -84,19 +107,22 @@ def make_multi_step(cfg: TrainConfig, n_steps: int,
         )
         return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
-    return multi_step
+    return _jit_step(multi_step, state_shardings)
 
 
 def make_train_step(cfg: TrainConfig, apply_rawboost: bool = False,
-                    output_kind: str = "dual") -> Callable:
+                    output_kind: str = "dual",
+                    state_shardings=None) -> Callable:
     """Build the jitted train step.
 
     output_kind: "dual" for models returning (emb, logits) (AASIST,
     SE-ResNet dual head); "logits" for plain classifiers (no compactness);
     "angle" for the A-softmax (cos, psi) head + AngleLoss.
+    state_shardings: optional TrainState-shaped NamedSharding tree
+    (parallel.train_state_shardings) pinning the output state placement.
     """
-    return partial(jax.jit, donate_argnums=(0,))(
-        _train_step_body(cfg, apply_rawboost, output_kind)
+    return _jit_step(
+        _train_step_body(cfg, apply_rawboost, output_kind), state_shardings
     )
 
 
@@ -270,18 +296,21 @@ def train(
             start_epoch = last + 1
             logger.log_jsonl(event="resume", epoch=start_epoch)
 
-    # place params/opt state on the mesh (TP-sharded or replicated; Adam
-    # moments inherit the param shardings — parallel/sharding.py)
+    # place params/opt state on the mesh (TP/fsdp-sharded or replicated;
+    # Adam moments inherit the param shardings — parallel/sharding.py);
+    # the same sharding tree pins the step outputs (out_shardings)
+    state_sh = train_state_shardings(state, mesh)
     state = place_state_on_mesh(state, mesh)
 
     k_dispatch = max(1, cfg.steps_per_dispatch)
     single_step_fn = make_train_step(
         cfg, apply_rawboost=cfg.rawboost.algo != 0, output_kind=output_kind,
+        state_shardings=state_sh,
     )
     if k_dispatch > 1:
         step_fn = make_multi_step(
             cfg, k_dispatch, apply_rawboost=cfg.rawboost.algo != 0,
-            output_kind=output_kind,
+            output_kind=output_kind, state_shardings=state_sh,
         )
     else:
         step_fn = single_step_fn
@@ -306,18 +335,19 @@ def train(
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
+        from occm_tpu.parallel.mesh import data_parallel_size, data_spec
         from occm_tpu.parallel.sharding import make_global_batch
 
-        dp_size = mesh.shape.get("dp", 1)
+        dp_size = data_parallel_size(mesh)
         n_proc = jax.process_count()
         local_full = (cfg.groups_per_step * cfg.meta_batch) \
             if n_proc > 1 else None
         pending_item = None
         for kind, x, labels in _batches(epoch):
             if kind == "chunk":
-                # chunked [k, B, T]: batch axis (dp) is axis 1
+                # chunked [k, B, T]: batch/data axes start at axis 1
                 item = kind, make_global_batch((x, labels), mesh,
-                                               P(None, "dp"))
+                                               data_spec(mesh, 1))
             elif n_proc > 1:
                 x = np.asarray(x)
                 labels = np.asarray(labels, np.int32)
@@ -333,10 +363,11 @@ def train(
                     w = np.concatenate(
                         [w, np.zeros((local_full - m,), np.float32)]
                     )
-                item = kind, make_global_batch((x, labels, w), mesh, P("dp"))
+                item = kind, make_global_batch((x, labels, w), mesh,
+                                               data_spec(mesh))
             elif x.shape[0] % dp_size:
-                # ragged tail smaller than the dp axis: replicate instead of
-                # shard — every device computes the same gradients, the
+                # ragged tail smaller than the data axes: replicate instead
+                # of shard — every device computes the same gradients, the
                 # all-reduce mean is unchanged, and no meta-batch is dropped
                 item = kind, jax.tree_util.tree_map(
                     lambda a: jax.device_put(a, NamedSharding(mesh, P())),

@@ -21,11 +21,17 @@ from occm_tpu.parallel import (
 
 def test_make_mesh_shapes():
     mesh = make_mesh(MeshConfig(dp=-1, tp=1))
-    assert mesh.shape == {"dp": 8, "tp": 1}
+    assert mesh.shape == {"dp": 8, "fsdp": 1, "tp": 1}
     mesh = make_mesh(MeshConfig(dp=4, tp=2))
-    assert mesh.shape == {"dp": 4, "tp": 2}
+    assert mesh.shape == {"dp": 4, "fsdp": 1, "tp": 2}
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
+    assert mesh.shape == {"dp": 2, "fsdp": 2, "tp": 2}
+    mesh = make_mesh(MeshConfig(dp=-1, fsdp=4, tp=1))
+    assert mesh.shape == {"dp": 2, "fsdp": 4, "tp": 1}
     with pytest.raises(ValueError):
         make_mesh(MeshConfig(dp=3, tp=2))
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(dp=4, fsdp=3, tp=1))
 
 
 def test_batch_shards_over_dp():
@@ -34,6 +40,16 @@ def test_batch_shards_over_dp():
     (xs,) = shard_batch((jnp.asarray(x),), mesh)
     assert xs.sharding.spec == P("dp")
     # each device holds 2 rows
+    assert xs.addressable_shards[0].data.shape == (2, 10)
+
+
+def test_batch_shards_over_dp_and_fsdp():
+    """An fsdp group is also a data-parallel group: the batch splits over
+    BOTH axes, so no device sees duplicated data."""
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=4, tp=1))
+    x = np.zeros((16, 10), np.float32)
+    (xs,) = shard_batch((jnp.asarray(x),), mesh)
+    assert xs.sharding.spec == P(("dp", "fsdp"))
     assert xs.addressable_shards[0].data.shape == (2, 10)
 
 
@@ -154,7 +170,9 @@ def test_tp_train_step_shards_opt_state_and_matches_single_device():
     import optax
 
     from occm_tpu.config import RawBoostConfig, TrainConfig
-    from occm_tpu.parallel import opt_state_shardings, place_state_on_mesh
+    from occm_tpu.parallel import (
+        opt_state_shardings, place_state_on_mesh, train_state_shardings,
+    )
     from occm_tpu.train.loop import make_train_step
     from occm_tpu.train.state import create_train_state
 
@@ -187,6 +205,11 @@ def test_tp_train_step_shards_opt_state_and_matches_single_device():
 
     mesh = make_mesh(tcfg.mesh)
     state_tp = create_train_state(model, rng, sample, optax.adam(tcfg.lr))
+    # the sharded step pins its output placement, as train() does
+    step = make_train_step(
+        tcfg, output_kind="dual",
+        state_shardings=train_state_shardings(state_tp, mesh),
+    )
     state_tp = place_state_on_mesh(state_tp, mesh)
 
     sh = param_shardings(state_tp.params, mesh)
@@ -227,3 +250,187 @@ def test_tp_train_step_shards_opt_state_and_matches_single_device():
     fc1_tp = np.asarray(
         state_tp.params["ssl"]["layers"]["layer"]["fc1"]["kernel"])
     np.testing.assert_allclose(fc1_tp, fc1_ref, rtol=1e-3, atol=1e-5)
+
+
+def test_fsdp_param_shardings():
+    """ZeRO-3 rules: large leaves get "fsdp" on their largest free axis
+    (composing with TP), small leaves stay replicated."""
+    cfg = XLSRConfig.tiny()
+    model = XLSREncoder(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 3200), jnp.float32),
+    )["params"]
+
+    # pure fsdp (tp=1): fc1 [L=2, 64, 128] shards its largest axis
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=4, tp=1))
+    sh = param_shardings(params, mesh)
+    assert sh["layers"]["layer"]["fc1"]["kernel"].spec == \
+        P(None, None, "fsdp")
+    # small leaves (biases, tiny convs) stay replicated
+    assert sh["layers"]["layer"]["fc1"]["bias"].spec == P()
+    assert sh["feature_extractor"]["conv_0"]["kernel"].spec == P()
+
+    # fsdp composes with TP on a free axis
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
+    sh = param_shardings(params, mesh)
+    assert sh["layers"]["layer"]["fc1"]["kernel"].spec == \
+        P(None, "fsdp", "tp")
+    assert sh["layers"]["layer"]["fc2"]["kernel"].spec == \
+        P(None, "tp", "fsdp")
+    assert sh["layers"]["layer"]["self_attn"]["out_proj"]["kernel"].spec \
+        == P(None, "tp", "fsdp")
+
+
+def test_fsdp_train_step_matches_single_device():
+    """Full ZeRO-3 training on a dp=2 x fsdp=2 x tp=2 mesh: params AND Adam
+    moments sharded over fsdp (the per-chip HBM win), batch sharded over
+    dp*fsdp, and the update numerically equals the single-device run —
+    GSPMD inserts the param all-gather and gradient reduce-scatter.
+    Capability beyond the reference (torch DataParallel replicates
+    everything, oc_training.py:328)."""
+    import flax.linen as nn
+    import optax
+
+    from occm_tpu.config import RawBoostConfig, TrainConfig
+    from occm_tpu.parallel import place_state_on_mesh, train_state_shardings
+    from occm_tpu.train.loop import make_train_step
+    from occm_tpu.train.state import create_train_state
+
+    cfg = XLSRConfig.tiny()
+
+    class DualHead(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            feats = XLSREncoder(cfg, name="ssl")(x, train=train)
+            pooled = jnp.mean(feats, axis=1)
+            emb = nn.Dense(16, name="emb")(pooled)
+            return emb, nn.Dense(2, name="head")(emb)
+
+    cut = 3200
+    tcfg = TrainConfig(
+        lr=1e-3, cut=cut, groups_per_step=1,
+        compactness_weight=0.1, descriptiveness_weight=0.9,
+        rawboost=RawBoostConfig(algo=0),
+        mesh=MeshConfig(dp=2, fsdp=2, tp=2),
+    )
+    model = DualHead()
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((12, cut), jnp.float32)
+    gen = np.random.default_rng(0)
+    x = jnp.asarray(gen.normal(size=(12, cut)).astype(np.float32) * 0.1)
+    labels = jnp.asarray(np.array([0] * 6 + [1] * 6, np.int32))
+    step = make_train_step(tcfg, output_kind="dual")
+
+    state_ref = create_train_state(model, rng, sample, optax.adam(tcfg.lr))
+    state_ref, m_ref = step(state_ref, (x, labels), jax.random.PRNGKey(7))
+
+    mesh = make_mesh(tcfg.mesh)
+    state_fs = create_train_state(model, rng, sample, optax.adam(tcfg.lr))
+    # the sharded step pins its output placement, as train() does
+    step = make_train_step(
+        tcfg, output_kind="dual",
+        state_shardings=train_state_shardings(state_fs, mesh),
+    )
+    state_fs = place_state_on_mesh(state_fs, mesh)
+
+    fc1 = state_fs.params["ssl"]["layers"]["layer"]["fc1"]["kernel"]
+    assert fc1.sharding.spec == P(None, "fsdp", "tp")
+    mu_fc1 = state_fs.opt_state[0].mu["ssl"]["layers"]["layer"]["fc1"]
+    assert mu_fc1["kernel"].sharding.spec == P(None, "fsdp", "tp")
+
+    with mesh:
+        batch = shard_batch((x, labels), mesh)
+        assert batch[0].sharding.spec == P(("dp", "fsdp"))
+        state_fs, m_fs = step(state_fs, batch, jax.random.PRNGKey(7))
+
+    # params and moments are STILL fsdp-sharded after the step (no silent
+    # reshard back to replicated)
+    fc1 = state_fs.params["ssl"]["layers"]["layer"]["fc1"]["kernel"]
+    assert fc1.sharding.spec == P(None, "fsdp", "tp")
+    mu_fc1 = state_fs.opt_state[0].mu["ssl"]["layers"]["layer"]["fc1"]
+    nu_fc1 = state_fs.opt_state[0].nu["ssl"]["layers"]["layer"]["fc1"]
+    assert mu_fc1["kernel"].sharding.spec == P(None, "fsdp", "tp")
+    assert nu_fc1["kernel"].sharding.spec == P(None, "fsdp", "tp")
+
+    assert float(m_fs["loss"]) == pytest.approx(float(m_ref["loss"]),
+                                                rel=1e-4)
+    fc1_ref = np.asarray(
+        state_ref.params["ssl"]["layers"]["layer"]["fc1"]["kernel"])
+    np.testing.assert_allclose(np.asarray(fc1), fc1_ref,
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_fsdp_chunked_dispatch_matches_single_device():
+    """k-step scanned dispatch (train/loop.py make_multi_step) on the
+    dp x fsdp x tp mesh: the chunk batch shards with data_spec(mesh, 1)
+    (steps axis unsharded, batch axis over dp AND fsdp) and two scanned
+    optimizer steps equal two sequential single-device steps. SGD, not
+    Adam — Adam amplifies cross-topology reduction-order ulps chaotically
+    over multiple steps (see tests/test_multiprocess.py docstrings)."""
+    import flax.linen as nn
+    import optax
+
+    from occm_tpu.config import RawBoostConfig, TrainConfig
+    from occm_tpu.parallel import place_state_on_mesh, train_state_shardings
+    from occm_tpu.parallel.mesh import data_spec
+    from occm_tpu.parallel.sharding import make_global_batch
+    from occm_tpu.train.loop import make_multi_step, make_train_step
+    from occm_tpu.train.state import create_train_state
+
+    cfg = XLSRConfig.tiny()
+
+    class DualHead(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            feats = XLSREncoder(cfg, name="ssl")(x, train=train)
+            pooled = jnp.mean(feats, axis=1)
+            emb = nn.Dense(16, name="emb")(pooled)
+            return emb, nn.Dense(2, name="head")(emb)
+
+    cut = 3200
+    k = 2
+    tcfg = TrainConfig(
+        lr=1e-3, cut=cut, groups_per_step=1,
+        compactness_weight=0.1, descriptiveness_weight=0.9,
+        rawboost=RawBoostConfig(algo=0),
+        mesh=MeshConfig(dp=2, fsdp=2, tp=2),
+        steps_per_dispatch=k,
+    )
+    model = DualHead()
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((12, cut), jnp.float32)
+    gen = np.random.default_rng(0)
+    xs = jnp.asarray(gen.normal(size=(k, 12, cut)).astype(np.float32) * 0.1)
+    labels = jnp.asarray(
+        np.tile(np.array([0] * 6 + [1] * 6, np.int32), (k, 1)))
+
+    # reference: k sequential single-device steps, splitting the dispatch
+    # rng exactly as the scan body does (train/loop.py multi_step)
+    step = make_train_step(tcfg, output_kind="dual")
+    state_ref = create_train_state(model, rng, sample, optax.sgd(tcfg.lr))
+    rng_d = jax.random.PRNGKey(7)
+    for i in range(k):
+        rng_d, step_rng = jax.random.split(rng_d)
+        state_ref, m_ref = step(state_ref, (xs[i], labels[i]), step_rng)
+
+    mesh = make_mesh(tcfg.mesh)
+    state_fs = create_train_state(model, rng, sample, optax.sgd(tcfg.lr))
+    multi = make_multi_step(
+        tcfg, k, output_kind="dual",
+        state_shardings=train_state_shardings(state_fs, mesh),
+    )
+    state_fs = place_state_on_mesh(state_fs, mesh)
+    with mesh:
+        chunk = make_global_batch((xs, labels), mesh, data_spec(mesh, 1))
+        assert chunk[0].sharding.spec == P(None, ("dp", "fsdp"))
+        state_fs, m_fs = multi(state_fs, chunk, jax.random.PRNGKey(7))
+
+    # still fsdp-sharded after the scanned dispatch
+    fc1 = state_fs.params["ssl"]["layers"]["layer"]["fc1"]["kernel"]
+    assert fc1.sharding.spec == P(None, "fsdp", "tp")
+
+    fc1_ref = np.asarray(
+        state_ref.params["ssl"]["layers"]["layer"]["fc1"]["kernel"])
+    np.testing.assert_allclose(np.asarray(fc1), fc1_ref,
+                               rtol=1e-3, atol=1e-5)
