@@ -87,11 +87,11 @@ class XLSRConfig:
     remat: bool = True           # jax.checkpoint each transformer block
     dtype: str = "bfloat16"      # compute dtype for the MXU path
     # "xla" einsum | "xla_merged" (B·H flattened to one batch dim for the
-    # attention dots — same math) | "packed" (head-PAIR block-diagonal
-    # packing: one 128-deep dot per pair instead of two 64-deep dots —
-    # same math, half the dot instances; tools/exp_packed_attention.py)
-    # | "flash" pallas kernel | "skip" (debug perf-attribution only: NOT
-    # attention)
+    # attention dots — same math) | "packed"/"packed4"/"packed8"
+    # (head-GROUP block-diagonal packing: one (g·64)-deep dot per group
+    # of g heads instead of g 64-deep dots — same math, 1/g the dot
+    # instances; tools/exp_packed_attention.py) | "flash" pallas kernel
+    # | "skip" (debug perf-attribution only: NOT attention)
     attention_impl: str = "xla"
     # fairseq wav2vec2 fine-tuning knob: scales (0 stops) the gradient
     # flowing into the conv feature extractor

@@ -239,27 +239,34 @@ class SelfAttention(nn.Module):
             # softmax(QK^T)V math bounds what any attention kernel can
             # recover). Never a valid training/serving config.
             out = v
-        elif cfg.attention_impl == "packed":
-            # head-PAIR block-diagonal packing: the MXU contracts 128 deep
+        elif cfg.attention_impl.startswith("packed"):
+            # head-GROUP block-diagonal packing: the MXU contracts 128 deep
             # natively, so a 64-deep QK^T contraction idles half the array
             # and the cost at this shape is per-dot issue overhead (the r3
-            # post-mortem, DESIGN.md). Packing q of two heads into a
-            # block-diagonal [2T, 2hd] against the pair's concatenated k
-            # computes BOTH heads' score matrices in ONE full-depth dot —
-            # exact same math, half the dot instances. PV is packed the
-            # same way ([T,2T] probs x blockdiag(v) -> [T,2hd]).
-            P = h // 2
+            # post-mortem, DESIGN.md). Packing q of g heads into a
+            # block-diagonal [gT, g*hd] against the group's depth-
+            # concatenated k computes ALL g heads' score matrices in ONE
+            # full-depth dot — exact same math, 1/g the dot instances at
+            # g x the (negligible at this shape) dot FLOPs. PV is packed
+            # the same way ([T, gT] probs x blockdiag(v) -> [T, g*hd]).
+            # "packed" == pack width 2; "packed4"/"packed8" pack deeper.
+            g = int(cfg.attention_impl[len("packed"):] or 2)
+            if g < 2 or h % g:
+                raise ValueError(
+                    f"attention_impl={cfg.attention_impl!r}: pack width"
+                    f" {g} must be >=2 and divide num_heads={h}"
+                )
+            P = h // g
             q = q * (hd ** -0.5)
-            qh = q.transpose(0, 2, 1, 3).reshape(B, P, 2, T, hd)
-            kh = k.transpose(0, 2, 1, 3).reshape(B, P, 2, T, hd)
-            vh = v.transpose(0, 2, 1, 3).reshape(B, P, 2, T, hd)
-            kc = kh.transpose(0, 1, 3, 2, 4).reshape(B, P, T, 2 * hd)
-            pad4 = ((0, 0), (0, 0), (0, 0), (0, hd))
-            pad4b = ((0, 0), (0, 0), (0, 0), (hd, 0))
-            qp = jnp.concatenate(
-                [jnp.pad(qh[:, :, 0], pad4), jnp.pad(qh[:, :, 1], pad4b)],
-                axis=2,
-            )
+            qh = q.transpose(0, 2, 1, 3).reshape(B, P, g, T, hd)
+            kh = k.transpose(0, 2, 1, 3).reshape(B, P, g, T, hd)
+            vh = v.transpose(0, 2, 1, 3).reshape(B, P, g, T, hd)
+            kc = kh.transpose(0, 1, 3, 2, 4).reshape(B, P, T, g * hd)
+            # block-diagonal via outer product with I_g:
+            # [B,P,g,T,hd] x [g,1,g,1] -> [B,P,g,T,g,hd] -> [B,P,gT,g*hd]
+            eye = jnp.eye(g, dtype=qh.dtype)[:, None, :, None]
+            qp = (qh[:, :, :, :, None, :] * eye).reshape(
+                B, P, g * T, g * hd)
             logits = jnp.einsum(
                 "bpqd,bpkd->bpqk", qp, kc,
                 preferred_element_type=_norm_dtype(cfg),
@@ -267,14 +274,12 @@ class SelfAttention(nn.Module):
             probs = checkpoint_name(
                 jax.nn.softmax(logits, axis=-1), "attn_probs"
             ).astype(dt)
-            pc = probs.reshape(B, P, 2, T, T).transpose(0, 1, 3, 2, 4)
-            pc = pc.reshape(B, P, T, 2 * T)
-            vp = jnp.concatenate(
-                [jnp.pad(vh[:, :, 0], pad4), jnp.pad(vh[:, :, 1], pad4b)],
-                axis=2,
-            )
+            pc = probs.reshape(B, P, g, T, T).transpose(0, 1, 3, 2, 4)
+            pc = pc.reshape(B, P, T, g * T)
+            vp = (vh[:, :, :, :, None, :] * eye).reshape(
+                B, P, g * T, g * hd)
             out = jnp.einsum("bpqk,bpkd->bpqd", pc, vp)
-            out = out.reshape(B, P, T, 2, hd).transpose(0, 2, 1, 3, 4)
+            out = out.reshape(B, P, T, g, hd).transpose(0, 2, 1, 3, 4)
             out = out.reshape(B, T, h, hd)
         elif cfg.attention_impl == "xla_merged":
             # same math as "xla" but with (B, H) flattened into ONE batch
