@@ -233,6 +233,39 @@ def test_attention_layouts_identical():
                                    rtol=1e-4, atol=1e-5, err_msg=impl)
 
 
+def test_packed8_attention_parity():
+    """packed8 needs num_heads % 8 == 0 (tiny has 4): run the g=8 edge at
+    an 8-head variant of tiny, and check the invalid-width error path."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from occm_tpu.config import XLSRConfig
+    from occm_tpu.models import XLSREncoder
+
+    x = jnp.asarray(
+        np.random.default_rng(4).normal(size=(2, 3200)).astype(np.float32))
+    results = {}
+    for impl in ("xla", "packed8"):
+        cfg = dataclasses.replace(
+            XLSRConfig.tiny(), encoder_heads=8, attention_impl=impl)
+        enc = XLSREncoder(cfg)
+        p = enc.init({"params": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(0)}, x)
+        results[impl] = np.asarray(enc.apply(p, x))
+    np.testing.assert_allclose(results["xla"], results["packed8"],
+                               rtol=1e-4, atol=1e-5)
+
+    bad = dataclasses.replace(XLSRConfig.tiny(), attention_impl="packed8")
+    enc = XLSREncoder(bad)  # tiny has 4 heads: 8 does not divide 4
+    with pytest.raises(ValueError, match="pack width"):
+        enc.init({"params": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(0)}, x)
+
+
 def test_pos_conv_impls_identical():
     """pos_conv_impl in {grouped, batched, s2d} is a layout-only change:
     same checkpoint tree, same forward and gradients (ops/pos_conv.py)."""
