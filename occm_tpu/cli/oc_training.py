@@ -66,6 +66,16 @@ def build_parser() -> argparse.ArgumentParser:
                              "shard over this many devices (batch "
                              "shards over dp*fsdp)")
     parser.add_argument("--tp", type=int, default=1)
+    parser.add_argument(
+        "--pp", type=int, default=1,
+        help="pipeline stages: GPipe schedule over the transformer "
+             "stack (stacked layer params shard stage-wise on the "
+             "mesh's pp axis; must divide encoder_layers)")
+    parser.add_argument(
+        "--pp_microbatches", type=int, default=0,
+        help="microbatches for the pipeline schedule (0 = pp). More "
+             "microbatches shrink the (pp-1)/(M+pp-1) bubble; must "
+             "divide the batch")
     parser.add_argument("--rawboost_algo", type=int, default=0,
                         help="0 disables (matches the reference's "
                              "commented-out call); 1-8 enable on-device "
@@ -155,7 +165,8 @@ def main(argv=None):
         cut=args.cut,
         groups_per_step=args.groups_per_step,
         rawboost=RawBoostConfig(algo=args.rawboost_algo),
-        mesh=MeshConfig(dp=args.dp, fsdp=args.fsdp, tp=args.tp),
+        mesh=MeshConfig(dp=args.dp, fsdp=args.fsdp, tp=args.tp,
+                        pp=args.pp),
         checkpoint_dir=args.checkpoint_dir,
         wandb_project=args.wandb_project,
         steps_per_dispatch=args.steps_per_dispatch,
@@ -199,6 +210,11 @@ def main(argv=None):
     if args.feature_grad_mult != 1.0:
         xlsr_cfg = dataclasses.replace(
             xlsr_cfg, feature_grad_mult=args.feature_grad_mult
+        )
+    if args.pp > 1:
+        xlsr_cfg = dataclasses.replace(
+            xlsr_cfg, pp_stages=args.pp,
+            pp_microbatches=args.pp_microbatches,
         )
     model, output_kind = make_model(args.model, xlsr_cfg)
 

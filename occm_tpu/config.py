@@ -169,6 +169,26 @@ class XLSRConfig:
     # convert a trained tree with quantize_params_int8. Inference-only —
     # round/clip are non-differentiable.
     quant_int8: bool = False
+    # GPipe-style pipeline parallelism over the transformer stack: split
+    # the L scanned layers into pp_stages contiguous stages (the stacked
+    # [L, ...] parameter leaves shard on axis 0 over the mesh's "pp"
+    # axis), split the batch into pp_microbatches microbatches, and run
+    # the classic fill/steady/drain schedule as ONE lax.scan over
+    # M + S - 1 ticks whose carry is the per-stage activation buffer —
+    # jnp.roll on the stage-sharded buffer lowers to an ICI
+    # collective-permute under GSPMD. Checkpoint tree is IDENTICAL to
+    # the non-pipelined model (same [L, ...] leaves, same paths): the
+    # stage split is a view, not a storage layout. Deterministic forward
+    # is numerically identical to pp_stages=1 (parity test
+    # tests/test_pipeline_pp.py); with dropout/layerdrop the RNG fold
+    # pattern differs (per-tick instead of per-layer), so stochastic
+    # trajectories are distribution-equivalent, not draw-exact.
+    # pp_stages must divide encoder_layers; pp_microbatches (0 = use
+    # pp_stages) must divide the batch. The pipeline bubble wastes
+    # (S-1)/(M+S-1) of the stage compute — raise pp_microbatches to
+    # amortise it.
+    pp_stages: int = 1
+    pp_microbatches: int = 0
     # rematerialise the conv feature extractor on the backward pass: the
     # 7-layer cascade stores ~2.5 GB of bf16 intermediates at batch 96
     # for its backward; recomputing trades cheap MXU conv FLOPs for that
@@ -256,6 +276,7 @@ class MeshConfig:
     dp: int = -1   # -1: use all remaining devices on the dp axis
     fsdp: int = 1  # ZeRO-3 param/optimizer sharding degree
     tp: int = 1
+    pp: int = 1    # pipeline stages (pairs with XLSRConfig.pp_stages)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -44,6 +44,23 @@ def _norm_dtype(cfg: XLSRConfig):
     return jnp.bfloat16 if cfg.norm_dtype == "bfloat16" else jnp.float32
 
 
+def _pp_constrain(x):
+    """Pin a pipeline buffer's stage axis (axis 0) to the mesh's "pp"
+    axis when tracing under a mesh that has one; no-op otherwise so
+    single-device CPU tests exercise the same schedule unsharded."""
+    try:
+        from jax._src import mesh as mesh_lib
+
+        m = mesh_lib.thread_resources.env.physical_mesh
+        if m is not None and not m.empty and "pp" in m.axis_names:
+            return jax.lax.with_sharding_constraint(
+                x, jax.sharding.PartitionSpec("pp")
+            )
+    except Exception:
+        pass
+    return x
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def grad_multiply(x, mult: float):
     """fairseq GradMultiply: identity forward, gradient scaled by `mult`."""
@@ -496,6 +513,15 @@ class XLSREncoder(nn.Module):
                     y = jnp.where(keep, y, carry)
                 return y, None
 
+        if cfg.pp_stages > 1:
+            x = self._pp_stack(cfg, train, ScannedStack, x)
+            if cfg.layer_norm_first:
+                x = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-5,
+                                 name="encoder_layer_norm")(
+                    x.astype(jnp.float32)
+                )
+            return x.astype(jnp.float32)
+
         stack_cls = nn.scan(
             ScannedStack,
             variable_axes={"params": 0},
@@ -527,6 +553,116 @@ class XLSREncoder(nn.Module):
                 x.astype(jnp.float32)
             )
         return x.astype(jnp.float32)
+
+    def _pp_stack(self, cfg, train, scanned_stack_cls, x):
+        """GPipe pipeline over the transformer stack (cfg.pp_stages > 1).
+
+        Same math and the SAME parameter tree as the sequential nn.scan
+        path: storage stays {layers/layer: [L, ...]} (checkpoints are
+        interchangeable); an nn.map_variables view reshapes each leaf to
+        [S, L/S, ...] and re-nests it under the per-stage vmap. One
+        lax.scan runs M + S - 1 ticks of the classic fill/steady/drain
+        schedule; the carry is the per-stage activation buffer [S, mb,
+        F, D], rolled one stage per tick — under a mesh with a "pp" axis
+        the roll lowers to an ICI collective-permute and each device
+        computes only its own stage's layer chunk. Deterministic forward
+        equals the sequential path exactly (tests/test_pipeline_pp.py);
+        the pipeline bubble wastes (S-1)/(M+S-1) of stage compute.
+        TPU-native capability beyond the reference (whose only
+        parallelism is single-host DataParallel, oc_training.py:328).
+        """
+        S = cfg.pp_stages
+        L = cfg.encoder_layers
+        if L % S:
+            raise ValueError(
+                f"pp_stages={S} must divide encoder_layers={L}")
+        chunk_len = L // S
+        M = cfg.pp_microbatches or S
+        B, F, D = x.shape
+        if B % M:
+            raise ValueError(
+                f"pp_microbatches={M} must divide batch size {B}")
+        mb = B // M
+        dt = x.dtype
+        unroll = cfg.scan_unroll
+
+        class PPTick(nn.Module):
+            cfg: XLSRConfig
+            train: bool
+
+            @nn.compact
+            def __call__(self, buf, x_t):
+                # shift each stage's output to the next stage, feed the
+                # fresh microbatch (zeros during drain) into stage 0
+                buf = jnp.roll(buf, 1, axis=0).at[0].set(x_t)
+                buf = _pp_constrain(buf)
+                chunk = nn.scan(
+                    scanned_stack_cls,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    length=chunk_len,
+                    unroll=unroll,
+                )
+                stages = nn.vmap(
+                    chunk,
+                    in_axes=(0, None),
+                    out_axes=0,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                )
+                y, _ = stages(self.cfg, self.train, name="stk")(buf, None)
+                y = _pp_constrain(y)
+                return y, y[-1]
+
+        tick_cls = nn.scan(
+            PPTick,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            length=M + S - 1,
+        )
+
+        mirror = cfg.bf16_param_mirror
+
+        def _to_view(tree):
+            # storage {"params": {"layer": [L, ...]}} -> module view
+            # {"params": {"stk": {"layer": [S, L/S, ...]}}} (+ the
+            # one-shot bf16 mirror cast, same as the sequential path)
+            if not tree or not tree.get("params"):
+                return tree
+            leaves = jax.tree_util.tree_map(
+                lambda v: v.reshape((S, chunk_len) + v.shape[1:]),
+                tree["params"]["layer"],
+            )
+            if mirror:
+                leaves = jax.tree_util.tree_map(
+                    lambda v: v.astype(jnp.bfloat16)
+                    if hasattr(v, "dtype") and v.dtype == jnp.float32
+                    else v,
+                    leaves,
+                )
+            return {"params": {"stk": {"layer": leaves}}}
+
+        def _from_view(tree):
+            if not tree or not tree.get("params"):
+                return tree
+            inner = tree["params"]["stk"]["layer"]
+            return {"params": {"layer": jax.tree_util.tree_map(
+                lambda v: v.reshape((L,) + v.shape[2:]), inner
+            )}}
+
+        tick_cls = nn.map_variables(
+            tick_cls, "params", trans_in_fn=_to_view,
+            trans_out_fn=_from_view, init=self.is_initializing(),
+        )
+
+        x_mb = x.reshape(M, mb, F, D)
+        xs = jnp.concatenate(
+            [x_mb, jnp.zeros((S - 1, mb, F, D), dt)], axis=0
+        )
+        buf0 = _pp_constrain(jnp.zeros((S, mb, F, D), dt))
+        _, ys = tick_cls(cfg, train, name="layers")(buf0, xs)
+        # microbatch m drains from the last stage at tick m + S - 1
+        return ys[S - 1:].reshape(B, F, D)
 
 
 class SSLModel(nn.Module):

@@ -36,14 +36,19 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
     n = len(devices)
     tp = max(1, cfg.tp)
     fsdp = max(1, cfg.fsdp)
-    dp = cfg.dp if cfg.dp > 0 else n // (fsdp * tp)
-    if dp * fsdp * tp != n:
+    pp = max(1, getattr(cfg, "pp", 1))
+    dp = cfg.dp if cfg.dp > 0 else n // (fsdp * tp * pp)
+    if dp * fsdp * tp * pp != n:
         raise ValueError(
-            f"mesh {dp}x{fsdp}x{tp} (dp x fsdp x tp) does not cover {n} "
-            "devices; set MeshConfig.dp/fsdp/tp to factor the device count"
+            f"mesh {dp}x{fsdp}x{tp}x{pp} (dp x fsdp x tp x pp) does not "
+            f"cover {n} devices; set MeshConfig.dp/fsdp/tp/pp to factor "
+            "the device count"
         )
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
-    return Mesh(arr, axis_names=("dp", "fsdp", "tp"))
+    # pp is the outermost axis after dp so a pipeline stage's tp/fsdp
+    # group stays ICI-contiguous; its collective is a ring permute, which
+    # tolerates the longer hop
+    arr = np.asarray(devices).reshape(dp, pp, fsdp, tp)
+    return Mesh(arr, axis_names=("dp", "pp", "fsdp", "tp"))
 
 
 def data_axes(mesh: Mesh) -> Tuple[str, ...]:

@@ -61,21 +61,30 @@ def _add_fsdp_axis(parts, shape, fsdp):
 
 
 def param_shardings(params: Any, mesh: Mesh) -> Any:
-    """NamedSharding tree: TP rules on XLSR transformer weights, then (when
-    the mesh has an fsdp axis >1) every large-enough leaf additionally
-    sharded ZeRO-3-style on its largest free axis. With tp=1 and fsdp=1
-    this degenerates to full replication (pure DP)."""
+    """NamedSharding tree: TP rules on XLSR transformer weights, pipeline
+    ("pp") sharding of the stacked [L, ...] layer axis, then (when the
+    mesh has an fsdp axis >1) every large-enough leaf additionally
+    sharded ZeRO-3-style on its largest free axis. With tp=1, fsdp=1 and
+    pp=1 this degenerates to full replication (pure DP)."""
     tp_active = mesh.shape.get("tp", 1) > 1
     fsdp = mesh.shape.get("fsdp", 1)
+    pp = mesh.shape.get("pp", 1)
 
     def assign(path, leaf):
         parts = (None,) * leaf.ndim
+        p = _path_str(path)
         if tp_active:
-            p = _path_str(path)
             for substr, spec in _TP_RULES:
                 if substr in p and leaf.ndim == len(spec):
                     parts = tuple(spec)
                     break
+        if (pp > 1 and "layers/layer/" in p and leaf.ndim >= 1
+                and leaf.shape[0] % pp == 0):
+            # every leaf under the scanned stack is [L, ...]; stage s of
+            # the pipeline owns the contiguous layer rows s*L/S..(s+1)*L/S
+            # (matching the [L,...] -> [S, L/S, ...] view the pipelined
+            # encoder takes — models/xlsr.py)
+            parts = ("pp",) + tuple(parts[1:])
         if fsdp > 1 and leaf.size >= FSDP_MIN_SIZE:
             parts = _add_fsdp_axis(parts, leaf.shape, fsdp)
         if all(part is None for part in parts):

@@ -21,13 +21,13 @@ from occm_tpu.parallel import (
 
 def test_make_mesh_shapes():
     mesh = make_mesh(MeshConfig(dp=-1, tp=1))
-    assert mesh.shape == {"dp": 8, "fsdp": 1, "tp": 1}
+    assert mesh.shape == {"dp": 8, "pp": 1, "fsdp": 1, "tp": 1}
     mesh = make_mesh(MeshConfig(dp=4, tp=2))
-    assert mesh.shape == {"dp": 4, "fsdp": 1, "tp": 2}
+    assert mesh.shape == {"dp": 4, "pp": 1, "fsdp": 1, "tp": 2}
     mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
-    assert mesh.shape == {"dp": 2, "fsdp": 2, "tp": 2}
+    assert mesh.shape == {"dp": 2, "pp": 1, "fsdp": 2, "tp": 2}
     mesh = make_mesh(MeshConfig(dp=-1, fsdp=4, tp=1))
-    assert mesh.shape == {"dp": 2, "fsdp": 4, "tp": 1}
+    assert mesh.shape == {"dp": 2, "pp": 1, "fsdp": 4, "tp": 1}
     with pytest.raises(ValueError):
         make_mesh(MeshConfig(dp=3, tp=2))
     with pytest.raises(ValueError):

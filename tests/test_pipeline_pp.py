@@ -1,0 +1,195 @@
+"""Pipeline-parallelism (GPipe over the transformer stack) tests.
+
+The pp path (occm_tpu/models/xlsr.py::XLSREncoder._pp_stack) must be a pure
+re-schedule: same parameter tree as the sequential nn.scan stack (checkpoints
+interchangeable), numerically identical deterministic forward, and — on a
+mesh with a "pp" axis — stacked layer params sharded stage-wise with the
+tick buffer circulating via collective-permute. TPU-native capability beyond
+the reference (whose only parallelism is single-host DataParallel,
+reference: oc_training.py:328). Runs on the virtual 8-device CPU platform
+(SURVEY.md §4d).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from occm_tpu.config import (
+    AASISTConfig, MeshConfig, RawBoostConfig, TrainConfig, XLSRConfig,
+)
+from occm_tpu.models import XLSREncoder
+from occm_tpu.parallel import (
+    batch_sharding, make_mesh, param_shardings, place_state_on_mesh,
+    shard_batch, train_state_shardings,
+)
+
+
+def _tiny_pp(microbatches=2, **kw):
+    return dataclasses.replace(
+        XLSRConfig.tiny(), pp_stages=2, pp_microbatches=microbatches, **kw
+    )
+
+
+def _init(model, wave):
+    return model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        wave,
+    )
+
+
+def test_pp_forward_equals_sequential():
+    """Deterministic pp forward == the sequential scan, exactly, for both
+    M=S and M>S microbatch counts; the parameter trees are identical."""
+    seq = XLSREncoder(XLSRConfig.tiny())
+    gen = np.random.default_rng(0)
+    wave = jnp.asarray(gen.normal(size=(4, 3200)).astype(np.float32) * 0.1)
+    variables = _init(seq, wave)
+    ref = np.asarray(seq.apply(variables, wave))
+
+    # M=S is bit-exact; M>S shrinks the microbatch, which changes XLA's
+    # tiling choices enough for ulp-level fp32 drift — still the same math
+    for m, atol in ((2, 0.0), (4, 1e-5)):
+        pp = XLSREncoder(_tiny_pp(microbatches=m))
+        out = np.asarray(pp.apply(variables, wave))
+        np.testing.assert_allclose(out, ref, atol=atol)
+
+    # same tree, same stacked [L, ...] shapes -> checkpoints interchangeable
+    v_pp = _init(XLSREncoder(_tiny_pp()), wave)
+    assert (jax.tree_util.tree_structure(variables["params"])
+            == jax.tree_util.tree_structure(v_pp["params"]))
+    assert (jax.tree_util.tree_map(lambda a: a.shape, variables["params"])
+            == jax.tree_util.tree_map(lambda a: a.shape, v_pp["params"]))
+
+
+def test_pp_invalid_configs_raise():
+    gen = np.random.default_rng(0)
+    wave = jnp.asarray(gen.normal(size=(4, 3200)).astype(np.float32) * 0.1)
+    seq = XLSREncoder(XLSRConfig.tiny())
+    variables = _init(seq, wave)
+
+    bad_stages = XLSREncoder(dataclasses.replace(
+        XLSRConfig.tiny(), pp_stages=3))  # 3 does not divide L=2
+    with pytest.raises(ValueError, match="divide encoder_layers"):
+        bad_stages.apply(variables, wave)
+
+    bad_mb = XLSREncoder(_tiny_pp(microbatches=3))  # 3 does not divide B=4
+    with pytest.raises(ValueError, match="divide batch"):
+        bad_mb.apply(variables, wave)
+
+
+def test_pp_param_shardings():
+    """On a pp>1 mesh every stacked [L, ...] transformer leaf shards its
+    layer axis over "pp" — composed with the megatron TP rules, while the
+    conv stem stays replicated."""
+    model = XLSREncoder(XLSRConfig.tiny())
+    params = _init(model, jnp.zeros((1, 3200), jnp.float32))["params"]
+
+    mesh = make_mesh(MeshConfig(dp=2, pp=2, tp=2))
+    sh = param_shardings(params, mesh)
+    layer = sh["layers"]["layer"]
+    assert layer["self_attn"]["q_proj"]["kernel"].spec == P("pp", None, "tp")
+    assert layer["self_attn"]["out_proj"]["kernel"].spec == P("pp", "tp",
+                                                              None)
+    assert layer["fc1"]["bias"].spec == P("pp", "tp")
+    assert layer["self_attn_layer_norm"]["scale"].spec == P("pp", None)
+    assert sh["feature_extractor"]["conv_0"]["kernel"].spec == P()
+
+    # pp=1 mesh -> no pp axis in any spec
+    sh1 = param_shardings(params, make_mesh(MeshConfig(dp=4, tp=2)))
+    assert sh1["layers"]["layer"]["self_attn"]["q_proj"]["kernel"].spec \
+        == P(None, None, "tp")
+
+
+def test_pp_sharded_forward_matches_replicated():
+    """dp=2 x pp=2 x tp=2: the stage-sharded pipelined forward (params
+    split layer-wise over pp, head/FFN-wise over tp, batch over dp; the
+    tick buffer circulated by GSPMD collective-permute) equals the
+    single-device sequential run."""
+    seq = XLSREncoder(XLSRConfig.tiny())
+    gen = np.random.default_rng(0)
+    wave = jnp.asarray(gen.normal(size=(8, 3200)).astype(np.float32) * 0.1)
+    variables = _init(seq, wave)
+    ref = np.asarray(seq.apply(variables, wave))
+
+    model = XLSREncoder(_tiny_pp(microbatches=4))
+    mesh = make_mesh(MeshConfig(dp=2, pp=2, tp=2))
+    sh = param_shardings(variables["params"], mesh)
+    params_sharded = jax.tree_util.tree_map(
+        jax.device_put, dict(variables["params"]), dict(sh)
+    )
+    wave_sharded = jax.device_put(wave, batch_sharding(mesh))
+
+    with mesh:
+        out = jax.jit(
+            lambda p, x: model.apply({"params": p}, x)
+        )(params_sharded, wave_sharded)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+    # the stacked layer params really are stage-sharded on device
+    q = params_sharded["layers"]["layer"]["self_attn"]["q_proj"]["kernel"]
+    assert q.sharding.spec == P("pp", None, "tp")
+    assert q.addressable_shards[0].data.shape[0] == q.shape[0] // 2
+
+
+@pytest.mark.slow
+def test_pp_train_step_matches_single_device():
+    """One full train step (XLSR+AASIST dual loss, Adam) on a dp=2 x pp=2
+    x tp=2 mesh with the pipelined encoder equals the unsharded sequential
+    step: same loss, same updated params."""
+    import optax
+
+    from occm_tpu.models import AModel
+    from occm_tpu.train.loop import make_train_step
+    from occm_tpu.train.state import create_train_state
+
+    cut = 3200
+    g = 2
+    mesh_cfg = MeshConfig(dp=2, pp=2, tp=2)
+    cfg = TrainConfig(
+        lr=1e-3, cut=cut, groups_per_step=g,
+        compactness_weight=0.1, descriptiveness_weight=0.9,
+        rawboost=RawBoostConfig(algo=0), mesh=mesh_cfg,
+    )
+    seq_model = AModel(AASISTConfig.tiny(), xlsr_cfg=XLSRConfig.tiny())
+    pp_model = AModel(AASISTConfig.tiny(), xlsr_cfg=_tiny_pp(microbatches=4))
+
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((12 * g, cut), jnp.float32)
+    gen = np.random.default_rng(0)
+    x = jnp.asarray(gen.normal(size=(12 * g, cut)).astype(np.float32) * 0.1)
+    labels = jnp.asarray(np.tile(np.array([0] * 6 + [1] * 6, np.int32), g))
+
+    # single-device sequential reference
+    state_ref = create_train_state(seq_model, rng, sample,
+                                   optax.adam(cfg.lr))
+    step_ref = make_train_step(cfg, output_kind="dual")
+    state_ref, m_ref = step_ref(state_ref, (x, labels), jax.random.PRNGKey(7))
+
+    # pp-sharded: start from the SAME initial params (the trees are
+    # interchangeable; pp init itself folds rngs differently, so copy
+    # the sequential init rather than re-initialising under pp)
+    mesh = make_mesh(mesh_cfg)
+    state_pp = create_train_state(pp_model, rng, sample, optax.adam(cfg.lr))
+    init_ref = create_train_state(seq_model, rng, sample,
+                                  optax.adam(cfg.lr))
+    state_pp = state_pp.replace(params=init_ref.params)
+    state_sh = train_state_shardings(state_pp, mesh)
+    state_pp = place_state_on_mesh(state_pp, mesh)
+    step_pp = make_train_step(cfg, output_kind="dual",
+                              state_shardings=state_sh)
+    with mesh:
+        batch = shard_batch((x, labels), mesh)
+        state_pp, m_pp = step_pp(state_pp, batch, jax.random.PRNGKey(7))
+
+    assert float(m_pp["loss"]) == pytest.approx(float(m_ref["loss"]),
+                                                rel=1e-4)
+    leaf_ref = np.asarray(
+        jax.tree_util.tree_leaves(state_ref.params)[0], np.float32)
+    leaf_pp = np.asarray(
+        jax.tree_util.tree_leaves(state_pp.params)[0], np.float32)
+    np.testing.assert_allclose(leaf_pp, leaf_ref, rtol=1e-3, atol=1e-5)
