@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
              "stack (stacked layer params shard stage-wise on the "
              "mesh's pp axis; must divide encoder_layers)")
     parser.add_argument(
+        "--seq_parallel", action="store_true", default=False,
+        help="Megatron-style sequence parallelism over the tp axis: the "
+             "residual path (LNs/dropout/residual adds) runs sequence-"
+             "sharded; GSPMD decomposes the TP all-reduces into "
+             "reduce-scatter + all-gather. Requires --tp > 1; not "
+             "composable with --pp")
+    parser.add_argument(
         "--pp_microbatches", type=int, default=0,
         help="microbatches for the pipeline schedule (0 = pp). More "
              "microbatches shrink the (pp-1)/(M+pp-1) bubble; must "
@@ -216,6 +223,8 @@ def main(argv=None):
             xlsr_cfg, pp_stages=args.pp,
             pp_microbatches=args.pp_microbatches,
         )
+    if args.seq_parallel:
+        xlsr_cfg = dataclasses.replace(xlsr_cfg, seq_parallel=True)
     model, output_kind = make_model(args.model, xlsr_cfg)
 
     prefix = cfg.checkpoint_prefix  # reference naming: aasist_vocoded_{e}

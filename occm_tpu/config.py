@@ -189,6 +189,15 @@ class XLSRConfig:
     # amortise it.
     pp_stages: int = 1
     pp_microbatches: int = 0
+    # Megatron-style sequence parallelism over the tp axis, expressed
+    # purely as GSPMD sharding constraints on the residual-path
+    # activations (models/xlsr.py::_sp_constrain): LayerNorms, dropout
+    # and residual adds run on 1/tp of the frames per device, and XLA
+    # decomposes the TP all-reduces into reduce-scatter + all-gather
+    # pairs. Identical math (tests/test_parallel.py); no effect unless
+    # the ambient mesh has tp > 1. Not composable with pp_stages > 1
+    # (the stage-vmapped constraint ranks differ — guarded).
+    seq_parallel: bool = False
     # rematerialise the conv feature extractor on the backward pass: the
     # 7-layer cascade stores ~2.5 GB of bf16 intermediates at batch 96
     # for its backward; recomputing trades cheap MXU conv FLOPs for that

@@ -44,6 +44,32 @@ def _norm_dtype(cfg: XLSRConfig):
     return jnp.bfloat16 if cfg.norm_dtype == "bfloat16" else jnp.float32
 
 
+def _sp_constrain(x):
+    """Megatron-style sequence parallelism, expressed purely as a GSPMD
+    constraint: pin the frames axis (axis -2 of [B, T, D]) to the mesh's
+    "tp" axis on the residual-path activations. XLA then decomposes the
+    TP all-reduces into reduce-scatter + all-gather pairs and runs the
+    LayerNorms/dropout/residual adds on 1/tp of the sequence per device.
+    No-op without an ambient mesh whose tp axis is >1 (single-device
+    tests run the same graph unsharded). The batch axis keeps whatever
+    data axes the mesh has so this composes with dp/fsdp."""
+    try:
+        from jax._src import mesh as mesh_lib
+        from jax.sharding import PartitionSpec
+
+        m = mesh_lib.thread_resources.env.physical_mesh
+        if m is None or m.empty or m.shape.get("tp", 1) <= 1:
+            return x
+        data = tuple(a for a in ("dp", "fsdp") if m.shape.get(a, 1) > 1)
+        batch_part = data[0] if len(data) == 1 else (data or None)
+        spec = [None] * x.ndim
+        spec[-3] = batch_part
+        spec[-2] = "tp"
+        return jax.lax.with_sharding_constraint(x, PartitionSpec(*spec))
+    except Exception:
+        return x
+
+
 def _pp_constrain(x):
     """Pin a pipeline buffer's stage axis (axis 0) to the mesh's "pp"
     axis when tracing under a mesh that has one; no-op otherwise so
@@ -362,6 +388,13 @@ class TransformerLayer(nn.Module):
             ln = lambda name: nn.LayerNorm(dtype=_norm_dtype(cfg),
                                            epsilon=1e-5, name=name)
 
+        if cfg.seq_parallel:
+            # sequence-shard the residual path over "tp": LNs, dropout
+            # and residual adds run on 1/tp of the frames; GSPMD inserts
+            # the all-gather feeding attention/FFN and turns their output
+            # all-reduces into reduce-scatters (Megatron-SP)
+            x = _sp_constrain(x)
+
         residual = x
         h = ln("self_attn_layer_norm")(x) if cfg.layer_norm_first else x
         h = SelfAttention(cfg, name="self_attn")(h, train=train)
@@ -371,6 +404,8 @@ class TransformerLayer(nn.Module):
         from jax.ad_checkpoint import checkpoint_name
 
         h = checkpoint_name(h, "attn_out")
+        if cfg.seq_parallel:
+            h = _sp_constrain(h)
         h = drop()(h)
         x = residual + h
         if not cfg.layer_norm_first:
@@ -403,6 +438,8 @@ class TransformerLayer(nn.Module):
             h = nn.Dense(cfg.encoder_ffn_dim, dtype=dt, name="fc1")(h)
             h = jax.nn.gelu(h, approximate=cfg.gelu_approximate)
             h = nn.Dense(cfg.encoder_embed_dim, dtype=dt, name="fc2")(h)
+        if cfg.seq_parallel:
+            h = _sp_constrain(h)
         h = drop()(h)
         x = residual + h
         if not cfg.layer_norm_first:
@@ -573,6 +610,11 @@ class XLSREncoder(nn.Module):
         """
         S = cfg.pp_stages
         L = cfg.encoder_layers
+        if cfg.seq_parallel:
+            raise ValueError(
+                "seq_parallel composes with dp/fsdp/tp but not with "
+                "pp_stages > 1 (the sequence constraint's rank differs "
+                "inside the stage vmap)")
         if L % S:
             raise ValueError(
                 f"pp_stages={S} must divide encoder_layers={L}")

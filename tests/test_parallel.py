@@ -79,6 +79,52 @@ def test_param_shardings_tp_rules():
     assert sh1["layers"]["layer"]["fc1"]["kernel"].spec == P()
 
 
+def test_sp_sharded_forward_matches_replicated():
+    """Megatron-style sequence parallelism (seq_parallel=True: the
+    residual path sequence-sharded over tp via GSPMD constraints) is a
+    pure re-sharding — the dp=2 x tp=4 forward equals the single-device
+    run, and the sharded grads stay finite."""
+    import dataclasses
+
+    seq = XLSREncoder(XLSRConfig.tiny())
+    sp = XLSREncoder(dataclasses.replace(XLSRConfig.tiny(),
+                                         seq_parallel=True))
+    gen = np.random.default_rng(0)
+    wave = jnp.asarray(gen.normal(size=(8, 3200)).astype(np.float32) * 0.1)
+    variables = seq.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        wave,
+    )
+    ref = np.asarray(seq.apply(variables, wave))
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=4))
+    sh = param_shardings(variables["params"], mesh)
+    params_sharded = jax.tree_util.tree_map(
+        jax.device_put, dict(variables["params"]), dict(sh)
+    )
+    wave_sharded = jax.device_put(wave, batch_sharding(mesh))
+    with mesh:
+        out = jax.jit(
+            lambda p, x: sp.apply({"params": p}, x)
+        )(params_sharded, wave_sharded)
+        grads = jax.jit(jax.grad(
+            lambda p, x: jnp.sum(sp.apply({"params": p}, x) ** 2)
+        ))(params_sharded, wave_sharded)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+    assert all(bool(jnp.all(jnp.isfinite(g)))
+               for g in jax.tree_util.tree_leaves(grads))
+
+    # off-mesh (single device) the constraint is a no-op, same numbers
+    np.testing.assert_allclose(np.asarray(sp.apply(variables, wave)), ref,
+                               atol=0)
+
+    # the untested combination is refused loudly
+    both = XLSREncoder(dataclasses.replace(
+        XLSRConfig.tiny(), seq_parallel=True, pp_stages=2))
+    with pytest.raises(ValueError, match="seq_parallel"):
+        both.apply(variables, wave)
+
+
 def test_tp_sharded_forward_matches_replicated():
     """The TP-sharded XLSR forward must be numerically identical to the
     single-device run (GSPMD inserts the collectives)."""
