@@ -66,6 +66,35 @@ def test_pp_forward_equals_sequential():
             == jax.tree_util.tree_map(lambda a: a.shape, v_pp["params"]))
 
 
+def test_pp_composes_with_remat_and_bf16_mirror():
+    """The 300M bench config's knobs (remat + attn_out_inner policy +
+    bf16 param mirror) compose with the pipeline schedule: forward
+    bit-exact, grads within bf16 ulp noise of the sequential path."""
+    base = dataclasses.replace(
+        XLSRConfig.tiny(), remat=True, remat_policy="attn_out_inner",
+        bf16_param_mirror=True, dtype="bfloat16",
+    )
+    pp_cfg = dataclasses.replace(base, pp_stages=2, pp_microbatches=2)
+    seq_m, pp_m = XLSREncoder(base), XLSREncoder(pp_cfg)
+    gen = np.random.default_rng(0)
+    wave = jnp.asarray(gen.normal(size=(4, 3200)).astype(np.float32) * 0.1)
+    v = _init(seq_m, wave)
+
+    np.testing.assert_array_equal(
+        np.asarray(seq_m.apply(v, wave)), np.asarray(pp_m.apply(v, wave))
+    )
+    g = jax.grad(lambda p: jnp.sum(
+        seq_m.apply({"params": p}, wave) ** 2))(v["params"])
+    g_pp = jax.grad(lambda p: jnp.sum(
+        pp_m.apply({"params": p}, wave) ** 2))(v["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(g_pp)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=5e-4, rtol=5e-3,
+        )
+
+
 def test_pp_invalid_configs_raise():
     gen = np.random.default_rng(0)
     wave = jnp.asarray(gen.normal(size=(4, 3200)).astype(np.float32) * 0.1)
