@@ -128,7 +128,15 @@ def build_parser() -> argparse.ArgumentParser:
              "v5e). Default 1.0 matches the reference's end-to-end "
              "fine-tune semantics")
     parser.add_argument("--resume", action="store_true",
-                        help="resume from the latest epoch checkpoint")
+                        help="resume from the latest checkpoint (epoch, "
+                             "or a newer mid-epoch step checkpoint — the "
+                             "epoch is replayed deterministically up to "
+                             "it)")
+    parser.add_argument(
+        "--checkpoint_every_steps", type=int, default=0,
+        help="preemption safety: save a mid-epoch step checkpoint every "
+             "N optimizer steps (and on SIGTERM); --resume continues "
+             "bit-identically from it. 0 = per-epoch only")
     parser.add_argument("--debug_nans", action="store_true",
                         help="enable jax_debug_nans (fail fast on NaNs)")
     return parser
@@ -177,6 +185,7 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir,
         wandb_project=args.wandb_project,
         steps_per_dispatch=args.steps_per_dispatch,
+        checkpoint_every_steps=args.checkpoint_every_steps,
     )
 
     print("*************************************************")

@@ -313,3 +313,17 @@ class TrainConfig:
     log_every: int = 100           # reference: oc_training.py:391
     loss_txt: str = "loss.txt"
     wandb_project: Optional[str] = None  # set to "oc_classifier" to mirror the reference
+    # Preemption-safe MID-EPOCH checkpointing (the reference only saves
+    # per-epoch and has no resume at all): every N optimizer steps the
+    # full TrainState plus the epoch progress (dispatch count, optimizer
+    # step count, running loss sums) is saved under
+    # `{checkpoint_prefix}_step_{opt_steps}` (older step checkpoints are
+    # deleted only AFTER the new save succeeds, so a kill mid-save never
+    # loses the previous one). While enabled, SIGTERM (the TPU-pod
+    # preemption signal) triggers one final step checkpoint at the next
+    # dispatch boundary before exiting. `--resume` prefers a step
+    # checkpoint newer than the last epoch checkpoint and REPLAYS the
+    # epoch deterministically up to it (same rng splits, same data
+    # order), so the resumed trajectory is bit-identical to an
+    # uninterrupted run (tests/test_step_checkpoint.py). 0 = off.
+    checkpoint_every_steps: int = 0

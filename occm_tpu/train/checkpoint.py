@@ -76,6 +76,92 @@ def restore_checkpoint(state, directory: str, prefix: str,
     return state, epoch
 
 
+def _step_ckpt_re(prefix: str):
+    return re.compile(re.escape(prefix) + r"_step_(\d+)$")
+
+
+def save_step_checkpoint(state, directory: str, prefix: str,
+                         progress: dict) -> str:
+    """Mid-epoch (preemption-safe) checkpoint: full TrainState + epoch
+    progress (epoch, dispatches consumed, optimizer steps, running loss
+    sums). Saved under `{prefix}_step_{opt_steps}`; older step
+    checkpoints are deleted only AFTER the save succeeds, so a kill
+    mid-save always leaves the previous one restorable (orbax itself
+    finalises atomically via tmp + rename)."""
+    import jax.numpy as jnp
+
+    path = os.path.abspath(
+        os.path.join(directory, f"{prefix}_step_{progress['opt_steps']}")
+    )
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "progress": {k: jnp.asarray(v) for k, v in progress.items()},
+    }
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    pat = _step_ckpt_re(prefix)
+    for name in os.listdir(directory):
+        m = pat.match(name)
+        if m and int(m.group(1)) != progress["opt_steps"]:
+            import shutil
+
+            shutil.rmtree(os.path.join(directory, name),
+                          ignore_errors=True)
+    return path
+
+
+def latest_step_checkpoint(directory: str, prefix: str) -> Optional[int]:
+    """opt_steps of the newest `{prefix}_step_*` checkpoint, or None."""
+    if not os.path.isdir(directory):
+        return None
+    pat = _step_ckpt_re(prefix)
+    best = None
+    for name in os.listdir(directory):
+        m = pat.match(name)
+        if m and os.path.isdir(os.path.join(directory, name)):
+            n = int(m.group(1))
+            best = n if best is None else max(best, n)
+    return best
+
+
+def restore_step_checkpoint(state, directory: str, prefix: str,
+                            opt_steps: int) -> Tuple[Any, dict]:
+    """Restore a mid-epoch checkpoint; returns (state, progress)."""
+    import jax.numpy as jnp
+
+    path = os.path.abspath(
+        os.path.join(directory, f"{prefix}_step_{opt_steps}")
+    )
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "progress": {
+            "epoch": jnp.zeros((), jnp.int32),
+            "dispatches": jnp.zeros((), jnp.int32),
+            "opt_steps": jnp.zeros((), jnp.int32),
+            "running_loss": jnp.zeros(()),
+            "running_closs": jnp.zeros(()),
+            "running_dloss": jnp.zeros(()),
+        },
+    }
+    restored = ckptr.restore(path, template)
+    state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    progress = {k: v.item() for k, v in restored["progress"].items()}
+    return state, progress
+
+
 def save_params(params, path: str) -> None:
     """Save a bare param tree (inference artefacts)."""
     ckptr = ocp.StandardCheckpointer()

@@ -285,8 +285,12 @@ def train(
         state = state.replace(batch_stats=stats_graft(state.batch_stats))
 
     start_epoch = 0
+    resume_progress = None
     if resume:
-        from occm_tpu.train.checkpoint import latest_epoch, restore_checkpoint
+        from occm_tpu.train.checkpoint import (
+            latest_epoch, latest_step_checkpoint, restore_checkpoint,
+            restore_step_checkpoint,
+        )
 
         last = latest_epoch(cfg.checkpoint_dir, cfg.checkpoint_prefix)
         if last is not None:
@@ -295,6 +299,21 @@ def train(
             )
             start_epoch = last + 1
             logger.log_jsonl(event="resume", epoch=start_epoch)
+        # a mid-epoch step checkpoint NEWER than the last epoch checkpoint
+        # wins: restore it and replay the epoch deterministically up to it
+        s_opt = latest_step_checkpoint(cfg.checkpoint_dir,
+                                       cfg.checkpoint_prefix)
+        if s_opt is not None:
+            cand, prog = restore_step_checkpoint(
+                state, cfg.checkpoint_dir, cfg.checkpoint_prefix, s_opt
+            )
+            if prog["epoch"] >= start_epoch:
+                state = cand
+                start_epoch = int(prog["epoch"])
+                resume_progress = prog
+                logger.log_jsonl(event="resume_step",
+                                 epoch=start_epoch,
+                                 opt_steps=int(prog["opt_steps"]))
 
     # place params/opt state on the mesh (TP/fsdp-sharded or replicated;
     # Adam moments inherit the param shardings — parallel/sharding.py);
@@ -344,6 +363,13 @@ def train(
             if n_proc > 1 else None
         pending_item = None
         for kind, x, labels in _batches(epoch):
+            if skip_dispatches[0] > 0:
+                # mid-epoch resume replay: the data order is already
+                # reproduced by the seeded pipeline; consume the item
+                # without uploading it (the caller burns the matching
+                # rng split so the remaining trajectory is bit-identical)
+                skip_dispatches[0] -= 1
+                continue
             if kind == "chunk":
                 # chunked [k, B, T]: batch/data axes start at axis 1
                 item = kind, make_global_batch((x, labels), mesh,
@@ -381,44 +407,107 @@ def train(
         if pending_item is not None:
             yield pending_item
 
+    # mid-epoch (preemption-safe) checkpointing: a one-element list so the
+    # _device_batches generator can consume the replay count in place
+    skip_dispatches = [0]
+    sigterm = [False]
+    prev_handler = None
+    if cfg.checkpoint_every_steps > 0:
+        import signal
+
+        try:
+            prev_handler = signal.signal(
+                signal.SIGTERM, lambda *_: sigterm.__setitem__(0, True)
+            )
+        except ValueError:
+            pass  # not the main thread (tests) — no handler, knob still works
+
+    def _fold(pending, running):
+        for m, mw in pending:
+            for k in running:
+                running[k] += float(m[k]) * mw
+        pending.clear()
+
+    def _save_step(epoch, dispatches, opt_steps, running):
+        from occm_tpu.train.checkpoint import save_step_checkpoint
+
+        save_step_checkpoint(
+            state, cfg.checkpoint_dir, cfg.checkpoint_prefix,
+            {"epoch": epoch, "dispatches": dispatches,
+             "opt_steps": opt_steps,
+             "running_loss": running["loss"],
+             "running_closs": running["closs"],
+             "running_dloss": running["dloss"]},
+        )
+
     epochs = num_epochs if num_epochs is not None else cfg.num_epochs
-    with mesh:
-        for epoch in range(start_epoch, epochs):
-            # metrics stay device-side between log points — no per-step host
-            # sync (a host round trip per step throttles remote TPUs).
-            # `opt_steps` counts OPTIMIZER steps: a k-dispatch chunk is k of
-            # them (its metrics are chunk means, so they enter the running
-            # sums with weight k) — loss.txt's `i` matches the reference's
-            # per-update counter whatever steps_per_dispatch is
-            # (reference: oc_training.py:363,391-395).
-            pending = []  # (metrics, n_opt_steps) not yet folded into running
-            running = {"loss": 0.0, "closs": 0.0, "dloss": 0.0}
-            opt_steps = 0
-            for kind, batch in _device_batches(epoch):
-                rng, step_rng = jax.random.split(rng)
-                state, metrics = (step_fn if kind == "chunk"
-                                  else single_step_fn)(state, batch, step_rng)
-                w = k_dispatch if kind == "chunk" else 1
-                prev = opt_steps
-                opt_steps += w
-                pending.append((metrics, w))
-                if prev // cfg.log_every != opt_steps // cfg.log_every:
-                    for m, mw in pending:
-                        for k in running:
-                            running[k] += float(m[k]) * mw
-                    pending = []
-                    logger.log_running(
-                        epoch, opt_steps - 1, running["loss"],
-                        running["closs"], running["dloss"],
-                    )
-                    logger.log_jsonl(
-                        epoch=epoch, step=opt_steps - 1, **{
-                            k: running[k] / opt_steps for k in running
-                        }
-                    )
-            for m, mw in pending:
-                for k in running:
-                    running[k] += float(m[k]) * mw
-            if checkpoint_fn is not None:
-                checkpoint_fn(state, epoch)
+    try:
+        with mesh:
+            for epoch in range(start_epoch, epochs):
+                # metrics stay device-side between log points — no per-step
+                # host sync (a host round trip per step throttles remote
+                # TPUs). `opt_steps` counts OPTIMIZER steps: a k-dispatch
+                # chunk is k of them (its metrics are chunk means, so they
+                # enter the running sums with weight k) — loss.txt's `i`
+                # matches the reference's per-update counter whatever
+                # steps_per_dispatch is (reference: oc_training.py:363,391-395).
+                pending = []  # (metrics, weight) not yet folded into running
+                running = {"loss": 0.0, "closs": 0.0, "dloss": 0.0}
+                opt_steps = 0
+                dispatches = 0
+                if resume_progress is not None and \
+                        int(resume_progress["epoch"]) == epoch:
+                    # replay this epoch up to the step checkpoint: skip the
+                    # consumed dispatches (no upload) but burn the SAME rng
+                    # splits so the tail trajectory is bit-identical
+                    dispatches = int(resume_progress["dispatches"])
+                    opt_steps = int(resume_progress["opt_steps"])
+                    running = {
+                        "loss": resume_progress["running_loss"],
+                        "closs": resume_progress["running_closs"],
+                        "dloss": resume_progress["running_dloss"],
+                    }
+                    skip_dispatches[0] = dispatches
+                    for _ in range(dispatches):
+                        rng, _ = jax.random.split(rng)
+                    resume_progress = None
+                for kind, batch in _device_batches(epoch):
+                    rng, step_rng = jax.random.split(rng)
+                    state, metrics = (step_fn if kind == "chunk"
+                                      else single_step_fn)(state, batch,
+                                                           step_rng)
+                    w = k_dispatch if kind == "chunk" else 1
+                    prev = opt_steps
+                    opt_steps += w
+                    dispatches += 1
+                    pending.append((metrics, w))
+                    if prev // cfg.log_every != opt_steps // cfg.log_every:
+                        _fold(pending, running)
+                        logger.log_running(
+                            epoch, opt_steps - 1, running["loss"],
+                            running["closs"], running["dloss"],
+                        )
+                        logger.log_jsonl(
+                            epoch=epoch, step=opt_steps - 1, **{
+                                k: running[k] / opt_steps for k in running
+                            }
+                        )
+                    every = cfg.checkpoint_every_steps
+                    if every > 0 and (sigterm[0] or
+                                      prev // every != opt_steps // every):
+                        _fold(pending, running)
+                        _save_step(epoch, dispatches, opt_steps, running)
+                        if sigterm[0]:
+                            logger.log_jsonl(event="preempt_save",
+                                             epoch=epoch,
+                                             opt_steps=opt_steps)
+                            return state
+                _fold(pending, running)
+                if checkpoint_fn is not None:
+                    checkpoint_fn(state, epoch)
+    finally:
+        if prev_handler is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev_handler)
     return state
