@@ -167,7 +167,10 @@ class XLSRConfig:
     # per-channel int8 weights (occm_tpu/ops/int8.py). CHANGES THE
     # CHECKPOINT LAYOUT for those modules ({kernel_q, scale, bias});
     # convert a trained tree with quantize_params_int8. Inference-only —
-    # round/clip are non-differentiable.
+    # round/clip are non-differentiable. The conv extractor deliberately
+    # stays bf16: XLA's TPU conv emitter does not engage the 2x int8 MXU
+    # rate (measured 78.7 int8 vs 84.9 bf16 TF/s on the heaviest layer;
+    # tools/exp_int8_conv.py, DESIGN.md r3 int8-conv probe).
     quant_int8: bool = False
     # GPipe-style pipeline parallelism over the transformer stack: split
     # the L scanned layers into pp_stages contiguous stages (the stacked
