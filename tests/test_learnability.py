@@ -1,0 +1,189 @@
+"""Learnability gate: the training loop must actually LEARN.
+
+Every other training test in the suite asserts mechanics (step counts,
+shapes, byte formats, cross-framework per-step agreement). This one closes
+the loop the reference demonstrates by shipping working checkpoints
+(reference: oc_training.py:344-401 trains them; oc_classifier.py:335-340
+consumes them): on a synthetic separable task — bonafide = band-limited
+harmonic tones, spoof = wideband noise bursts — the full pipeline
+
+    PFDataset -> meta-batch train on the 8-device CPU mesh ->
+    reference-embedding + threshold -> scores.txt -> compute_eer
+
+must (a) reduce the training loss substantially from its initial value and
+(b) reach an eval EER far below the 0.5 chance floor. Both the flagship
+trainer config (AASIST, reference: oc_training.py:380-382 loss weights)
+and the alternative trainer (SSL+SE-ResNet34, reference:
+test_dataloader_v2.py:125-127) are gated.
+
+If any piece of the loss/loop/scoring chain silently stops learning (sign
+flip, dead gradient, broken label map, scorer distance inversion), this
+test fails.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from occm_tpu.config import (
+    AASISTConfig,
+    MeshConfig,
+    RawBoostConfig,
+    TrainConfig,
+    XLSRConfig,
+)
+from occm_tpu.data import ASVDataset, MetaBatchPipeline, PFDataset
+from occm_tpu.io.wav import write_wav
+
+SR = 16000
+CUT = 3200
+VOCODERS = ("hifigan", "hn-sinc-nsf-hifi", "hn-sinc-nsf", "melgan",
+            "waveglow")
+
+
+def _bona_wave(i: int, n: int = 3000) -> np.ndarray:
+    """Band-limited harmonic tone stack — clearly periodic."""
+    t = np.arange(n) / SR
+    f0 = 180 + 15 * i
+    w = (0.25 * np.sin(2 * np.pi * f0 * t)
+         + 0.12 * np.sin(2 * np.pi * 2 * f0 * t)
+         + 0.06 * np.sin(2 * np.pi * 3 * f0 * t))
+    return w.astype(np.float32)
+
+
+def _spoof_wave(rng: np.random.Generator, n: int = 3000) -> np.ndarray:
+    """Wideband noise with amplitude bursts — aperiodic."""
+    w = 0.25 * rng.normal(size=n)
+    env = (rng.uniform(size=n // 100 + 1) > 0.4).astype(np.float32)
+    env = np.repeat(env, 100)[:n]
+    return (w * (0.4 + 0.6 * env)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def separable_tree(tmp_path_factory):
+    """12 bonafide tones + 6 noise spoofs (train), 8+8 eval."""
+    root = tmp_path_factory.mktemp("separable")
+    train_dir = root / "train"
+    vocoded_dir = root / "vocoded"
+    eval_dir = root / "eval"
+    for d in (train_dir, vocoded_dir, eval_dir):
+        d.mkdir()
+    rng = np.random.default_rng(7)
+
+    lines = []
+    for i in range(12):
+        utt = f"LA_T_b{i:04d}"
+        w = _bona_wave(i)
+        write_wav(str(train_dir / f"{utt}.wav"), w, SR)
+        lines.append(f"LA_{i:04d} {utt} - - bonafide")
+        for voc in VOCODERS:
+            vw = w + 0.15 * rng.normal(size=w.shape).astype(np.float32)
+            write_wav(str(vocoded_dir / f"{voc}_{utt}.wav"), vw, SR)
+    for i in range(6):
+        utt = f"LA_T_s{i:04d}"
+        write_wav(str(train_dir / f"{utt}.wav"), _spoof_wave(rng), SR)
+        lines.append(f"LA_{100 + i:04d} {utt} - A0{i} spoof")
+    (root / "train.txt").write_text("\n".join(lines) + "\n")
+
+    ev_proto, ev_labels = [], []
+    for i in range(8):
+        utt = f"LA_E_b{i:04d}"
+        write_wav(str(eval_dir / f"{utt}.wav"), _bona_wave(20 + i, 3100), SR)
+        ev_proto.append(utt)
+        ev_labels.append("bonafide")
+    for i in range(8):
+        utt = f"LA_E_s{i:04d}"
+        write_wav(str(eval_dir / f"{utt}.wav"), _spoof_wave(rng, 3100), SR)
+        ev_proto.append(utt)
+        ev_labels.append("spoof")
+    (root / "eval_proto.txt").write_text("\n".join(ev_proto) + "\n")
+    return root, ev_labels
+
+
+def _train_and_score(root, ev_labels, model, tmp_path, epochs):
+    from occm_tpu.classify import BucketedEmbedder, OneClassScorer
+    from occm_tpu.evaluate import calculate_eer_from_labels
+    from occm_tpu.io.scorefiles import read_comma_scores
+    from occm_tpu.parallel import make_mesh
+    from occm_tpu.train.loop import train
+
+    cfg = TrainConfig(
+        lr=1e-3,
+        num_epochs=epochs,
+        compactness_weight=0.1,
+        descriptiveness_weight=0.9,
+        cut=CUT,
+        groups_per_step=4,
+        rawboost=RawBoostConfig(algo=0),
+        mesh=MeshConfig(dp=8, tp=1),
+        log_every=1,
+        loss_txt=str(tmp_path / "loss.txt"),
+        checkpoint_dir=str(tmp_path),
+    )
+    ds = PFDataset(str(root / "train.txt"), str(root / "train"),
+                   vocoded_dir=str(root / "vocoded"), cut=CUT)
+    pipeline = MetaBatchPipeline(ds, groups_per_step=4, seed=0)
+    state = train(model, pipeline, cfg, mesh=make_mesh(cfg.mesh),
+                  output_kind="dual")
+
+    losses = [float(line.rsplit("=", 1)[1]) for line in open(cfg.loss_txt)]
+    assert len(losses) == epochs * 3  # 12 meta-batches / groups_per_step=4
+
+    params, stats = state.params, state.batch_stats
+
+    def embed_fn(x):
+        v = {"params": params}
+        if stats:
+            v["batch_stats"] = stats
+        return model.apply(v, x, train=False)
+
+    embedder = BucketedEmbedder(embed_fn, bucket_step=CUT, max_len=CUT * 2,
+                                batch_size=4)
+    scorer = OneClassScorer(embedder, cache_dir=str(tmp_path))
+    train_ds = ASVDataset(str(root / "train.txt"), str(root / "train"))
+    ref, thr = scorer.create_reference_embedding(train_ds)
+    eval_ds = ASVDataset(str(root / "eval_proto.txt"), str(root / "eval"),
+                         eval=True)
+    score_file = str(tmp_path / "scores.txt")
+    scorer.score_eval_set_1c(eval_ds, ref, thr, score_file=score_file)
+    scores = read_comma_scores(score_file)
+    assert len(scores) == len(ev_labels)
+    eer, _ = calculate_eer_from_labels(scores, ev_labels)
+    return losses, eer
+
+
+@pytest.mark.slow
+def test_aasist_learns_separable_task(separable_tree, tmp_path):
+    """Flagship trainer: loss falls >30%, EER beats chance by >2.5x."""
+    from occm_tpu.models import AModel
+
+    root, ev_labels = separable_tree
+    os.chdir(tmp_path)
+    model = AModel(AASISTConfig.tiny(), xlsr_cfg=XLSRConfig.tiny())
+    losses, eer = _train_and_score(root, ev_labels, model, tmp_path,
+                                   epochs=8)
+    first, last = np.mean(losses[:3]), np.mean(losses[-3:])
+    # measured margin: 55-82% drop at 5-10 epochs; gate at 30%
+    assert last < 0.7 * first, (
+        f"train loss did not fall: {first:.4f} -> {last:.4f}"
+    )
+    # chance floor is 0.5 on the balanced eval set; measured 0.0
+    assert eer < 0.2, f"eval EER {eer:.3f} does not beat chance"
+
+
+@pytest.mark.slow
+def test_alt_trainer_learns_separable_task(separable_tree, tmp_path):
+    """Alt trainer (SSL+SE-ResNet34, reference: test_dataloader_v2.py)."""
+    from occm_tpu.models import SSLResNet34
+
+    root, ev_labels = separable_tree
+    os.chdir(tmp_path)
+    model = SSLResNet34(xlsr_cfg=XLSRConfig.tiny())
+    losses, eer = _train_and_score(root, ev_labels, model, tmp_path,
+                                   epochs=6)
+    first, last = np.mean(losses[:3]), np.mean(losses[-3:])
+    assert last < 0.7 * first, (
+        f"train loss did not fall: {first:.4f} -> {last:.4f}"
+    )
+    assert eer < 0.2, f"eval EER {eer:.3f} does not beat chance"
