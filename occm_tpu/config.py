@@ -208,6 +208,15 @@ class XLSRConfig:
     # FLOP-bound: ~180 GFLOP total but ~40 ms measured)
     conv_remat: bool = False
 
+    def __post_init__(self):
+        # sp shards the residual stream's time axis over "tp" between
+        # blocks; inside the pp stage-vmap the constraint's rank differs,
+        # so the combination is rejected at construction (a trace-time
+        # backstop also exists in models/xlsr.py).
+        if self.seq_parallel and self.pp_stages > 1:
+            raise ValueError(
+                "seq_parallel is not composable with pp_stages > 1")
+
     @staticmethod
     def base() -> "XLSRConfig":
         """wav2vec2-base layout: group-norm extractor (bias-free convs in

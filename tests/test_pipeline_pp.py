@@ -110,6 +110,12 @@ def test_pp_invalid_configs_raise():
     with pytest.raises(ValueError, match="divide batch"):
         bad_mb.apply(variables, wave)
 
+    # sp+pp rejected at CONFIG CONSTRUCTION (XLSRConfig.__post_init__),
+    # not just at trace time
+    with pytest.raises(ValueError, match="seq_parallel"):
+        dataclasses.replace(XLSRConfig.tiny(), pp_stages=2,
+                            seq_parallel=True)
+
 
 def test_pp_param_shardings():
     """On a pp>1 mesh every stacked [L, ...] transformer leaf shards its

@@ -18,10 +18,14 @@ reads 280+ TF/s — above bf16 peak — which is how you know it happened):
 Verdict: NEGATIVE — XLA's TPU conv emitter runs int8 convs through the
 same pipeline at the same (slightly worse, after the quantize VPU pass)
 rate; it does not engage the 2x int8 MXU rate the way `lax.dot_general`
-does (occm_tpu/ops/int8.py). An im2col reformulation to dot_general was
-also measured (earlier probe): within noise of the conv emitter at these
-shapes. The conv extractor therefore stays bf16 under `--quant_int8`;
-the XLSRConfig.quant_int8 docstring and DESIGN.md record this.
+does (occm_tpu/ops/int8.py). The im2col reformulation to dot_general
+(strided tap slices concatenated into a [B, T_out, K*C] operand, one
+512*3-deep int8 dot) is benchmarked here as `int8 im2col dot` so the
+full verdict is reproducible from this script alone: it also fails to
+beat the bf16 conv at these shapes (the K*C=1536-deep dot pays the
+concat's HBM round-trip). The conv extractor therefore stays bf16 under
+`--quant_int8`; the XLSRConfig.quant_int8 docstring and DESIGN.md
+record this.
 
 Usage: python tools/exp_int8_conv.py [--share]
 """
@@ -87,8 +91,30 @@ def ab_layer1():
 
         return lax.scan(body, 0.0, scales)[0]
 
+    @jax.jit
+    def conv_int8_im2col(x0, w, scales):
+        # (K, C_in, C_out) -> (K*C_in, C_out), tap-major to match the
+        # tap-major channel concat below
+        wq = jnp.clip(jnp.round(w * 100), -127, 127).astype(jnp.int8)
+        wq2 = wq.reshape(K * C, C)
+        T_out = (T - K) // 2 + 1
+
+        def body(c, s):
+            xq = jnp.clip(jnp.round(x0 * (s * 100)), -127,
+                          127).astype(jnp.int8)
+            cols = jnp.concatenate(
+                [lax.slice_in_dim(xq, k, k + 2 * (T_out - 1) + 1, 2, axis=1)
+                 for k in range(K)],
+                axis=-1)  # [B, T_out, K*C]
+            o = lax.dot_general(cols, wq2, (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+            return c + o.astype(jnp.float32).mean(), None
+
+        return lax.scan(body, 0.0, scales)[0]
+
     flops = B * ((T - K) // 2 + 1) * K * C * C * 2
-    for name, fn in [("bf16 conv", conv_bf16), ("int8 conv", conv_int8)]:
+    for name, fn in [("bf16 conv", conv_bf16), ("int8 conv", conv_int8),
+                     ("int8 im2col dot", conv_int8_im2col)]:
         dt = bench(fn)
         print(f"RESULT {name}: {dt * 1e3:.3f} ms/conv  {flops / dt / 1e12:.1f} TF/s")
 
