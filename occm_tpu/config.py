@@ -267,6 +267,13 @@ class AASISTConfig:
     temperatures: Tuple[float, float, float, float] = (2.0, 2.0, 100.0, 100.0)
     pos_s_nodes: int = 42        # pos_S shape (1, 42, 64) (reference: models/sslassist.py:473)
     ll_dim: int = 128            # LL: 1024 -> 128 (reference: models/sslassist.py:448)
+    # dropout rates — defaults are the reference's hard-coded values
+    # (GAT input / way-fusion 0.2, GraphPool 0.3, pre-out_layer 0.5 at
+    # models/sslassist.py:66,357,476,584); configurable so deterministic
+    # training (e.g. the cross-framework trajectory gate) can zero them
+    dropout: float = 0.2
+    pool_dropout: float = 0.3
+    head_dropout: float = 0.5
 
     @staticmethod
     def tiny() -> "AASISTConfig":

@@ -48,11 +48,12 @@ class GraphAttentionLayer(nn.Module):
 
     out_dim: int
     temperature: float = 1.0
+    dropout: float = 0.2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # input dropout p=0.2
-        x = nn.Dropout(0.2, deterministic=not train)(x)
+        # input dropout (reference p=0.2)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
 
         # attention map over pairwise node products
         pair = x[:, :, None, :] * x[:, None, :, :]        # [B,N,N,D]
@@ -78,6 +79,7 @@ class HtrgGraphAttentionLayer(nn.Module):
     in_dim: int
     out_dim: int
     temperature: float = 1.0
+    dropout: float = 0.2
 
     @nn.compact
     def __call__(self, x1, x2, master: Optional[jnp.ndarray] = None,
@@ -92,7 +94,7 @@ class HtrgGraphAttentionLayer(nn.Module):
         if master is None:
             master = jnp.mean(x, axis=1, keepdims=True)
 
-        x = nn.Dropout(0.2, deterministic=not train)(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
 
         # ---- heterogeneous attention map (block att_weights) ----
         pair = x[:, :, None, :] * x[:, None, :, :]        # [B,N,N,D]
@@ -245,21 +247,19 @@ class AASISTBackend(nn.Module):
         )
         e_S = e_S + pos_S
         gat_S = GraphAttentionLayer(
-            gat0, temperature=t0, name="GAT_layer_S"
+            gat0, temperature=t0, dropout=cfg.dropout, name="GAT_layer_S"
         )(e_S, train=train)
-        out_S = GraphPool(cfg.pool_ratios[0], 0.3, name="pool_S")(
-            gat_S, train=train
-        )
+        out_S = GraphPool(cfg.pool_ratios[0], cfg.pool_dropout,
+                          name="pool_S")(gat_S, train=train)
 
         # temporal branch: softmax over the spectral axis (reference l.535-542)
         w2 = jax.nn.softmax(w, axis=1)
         e_T = jnp.sum(x * w2, axis=1)                      # [B,F',64]
         gat_T = GraphAttentionLayer(
-            gat0, temperature=t1, name="GAT_layer_T"
+            gat0, temperature=t1, dropout=cfg.dropout, name="GAT_layer_T"
         )(e_T, train=train)
-        out_T = GraphPool(cfg.pool_ratios[1], 0.3, name="pool_T")(
-            gat_T, train=train
-        )
+        out_T = GraphPool(cfg.pool_ratios[1], cfg.pool_dropout,
+                          name="pool_T")(gat_T, train=train)
 
         # learnable master nodes — the raw [1,1,D] params are passed, as the
         # reference effectively does (models/sslassist.py:549,563)
@@ -270,13 +270,17 @@ class AASISTBackend(nn.Module):
 
         def inference(out_T_in, out_S_in, master, tag):
             ht1 = HtrgGraphAttentionLayer(
-                gat0, gat1, temperature=t2, name=f"HtrgGAT_layer_ST{tag}1"
+                gat0, gat1, temperature=t2, dropout=cfg.dropout,
+                name=f"HtrgGAT_layer_ST{tag}1"
             )
             ht2 = HtrgGraphAttentionLayer(
-                gat1, gat1, temperature=t2, name=f"HtrgGAT_layer_ST{tag}2"
+                gat1, gat1, temperature=t2, dropout=cfg.dropout,
+                name=f"HtrgGAT_layer_ST{tag}2"
             )
-            pool_s = GraphPool(cfg.pool_ratios[2], 0.3, name=f"pool_hS{tag}")
-            pool_t = GraphPool(cfg.pool_ratios[3], 0.3, name=f"pool_hT{tag}")
+            pool_s = GraphPool(cfg.pool_ratios[2], cfg.pool_dropout,
+                               name=f"pool_hS{tag}")
+            pool_t = GraphPool(cfg.pool_ratios[3], cfg.pool_dropout,
+                               name=f"pool_hT{tag}")
 
             o_T, o_S, m = ht1(out_T_in, out_S_in, master=master, train=train)
             o_S = pool_s(o_S, train=train)
@@ -287,7 +291,7 @@ class AASISTBackend(nn.Module):
         out_T1, out_S1, m1 = inference(out_T, out_S, master1, "1")
         out_T2, out_S2, m2 = inference(out_T, out_S, master2, "2")
 
-        drop_way = nn.Dropout(0.2, deterministic=not train)
+        drop_way = nn.Dropout(cfg.dropout, deterministic=not train)
         out_T1 = drop_way(out_T1)
         out_T2 = drop_way(out_T2)
         out_S1 = drop_way(out_S1)
@@ -307,7 +311,7 @@ class AASISTBackend(nn.Module):
         emb = jnp.concatenate(
             [T_max, T_avg, S_max, S_avg, master[:, 0, :]], axis=1
         )                                                  # [B,160]
-        hidden = nn.Dropout(0.5, deterministic=not train)(emb)
+        hidden = nn.Dropout(cfg.head_dropout, deterministic=not train)(emb)
         logits = nn.Dense(2, name="out_layer")(hidden)
         return emb, logits
 
