@@ -90,8 +90,10 @@ class XLSRConfig:
     # attention dots — same math) | "packed"/"packed4"/"packed8"
     # (head-GROUP block-diagonal packing: one (g·64)-deep dot per group
     # of g heads instead of g 64-deep dots — same math, 1/g the dot
-    # instances; tools/exp_packed_attention.py) | "flash" pallas kernel
-    # | "skip" (debug perf-attribution only: NOT attention)
+    # instances; tools/exp_packed_attention.py) | "pad128" (T padded to a
+    # multiple of 128 with masked keys — clean emitter tiles at 62% more
+    # dot FLOPs; measured negative, tools/repro_attn_bwd.py) | "flash"
+    # pallas kernel | "skip" (debug perf-attribution only: NOT attention)
     attention_impl: str = "xla"
     # fairseq wav2vec2 fine-tuning knob: scales (0 stops) the gradient
     # flowing into the conv feature extractor

@@ -261,20 +261,26 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_checkpoint_state_dict(pt_path: str) -> Dict:
+    """Load a fairseq/HF .pt (torch pickle) or a HF .safetensors file into
+    a flat state dict (unwraps {'model': ...} and pickled nn.Modules)."""
+    if pt_path.endswith(".safetensors"):
+        return load_safetensors(pt_path)
+    import torch
+
+    state = torch.load(pt_path, map_location="cpu", weights_only=False)
+    sd = state.get("model", state)
+    if hasattr(sd, "state_dict"):  # a pickled nn.Module
+        sd = sd.state_dict()
+    return sd
+
+
 def convert_checkpoint_file(pt_path: str, out_path: str,
                             cfg: XLSRConfig = XLSRConfig(),
                             fmt: str = "auto") -> None:
     """CLI core: load a fairseq/HF .pt (torch pickle) or a HF
     .safetensors file, convert, save with orbax."""
-    if pt_path.endswith(".safetensors"):
-        sd = load_safetensors(pt_path)
-    else:
-        import torch
-
-        state = torch.load(pt_path, map_location="cpu", weights_only=False)
-        sd = state.get("model", state)
-        if hasattr(sd, "state_dict"):  # a pickled nn.Module
-            sd = sd.state_dict()
+    sd = load_checkpoint_state_dict(pt_path)
     if fmt == "auto":
         fmt = detect_format(sd)
     if fmt == "hf":

@@ -324,6 +324,33 @@ class SelfAttention(nn.Module):
             out = jnp.einsum("bpqk,bpkd->bpqd", pc, vp)
             out = out.reshape(B, P, T, g, hd).transpose(0, 2, 1, 3, 4)
             out = out.reshape(B, T, h, hd)
+        elif cfg.attention_impl == "pad128":
+            # T padded to the next multiple of 128 for the attention dot
+            # chain only (key mask keeps the math exact, pad rows sliced
+            # off): the emitter's odd-shape tiling penalty vs its
+            # clean-shape rate, measured end-to-end. Dot-level A/B
+            # (tools/repro_attn_bwd.py): the [256,256]x[256,64]-class
+            # backward dots run at 28 vs 20 TF/s but the 62% extra FLOPs
+            # lose more than the tiling wins — recorded NEGATIVE, kept as
+            # a knob so the measurement stays reproducible in-program.
+            Tp = -(-T // 128) * 128
+            pad = ((0, 0), (0, Tp - T), (0, 0), (0, 0))
+            qp = jnp.pad(q * (hd ** -0.5), pad)
+            kp = jnp.pad(k, pad)
+            vp = jnp.pad(v, pad)
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", qp, kp,
+                preferred_element_type=_norm_dtype(cfg),
+            )
+            keymask = jnp.arange(Tp) < T
+            logits = jnp.where(
+                keymask[None, None, None, :], logits,
+                jnp.asarray(-1e30, logits.dtype),
+            )
+            probs = checkpoint_name(
+                jax.nn.softmax(logits, axis=-1), "attn_probs"
+            ).astype(dt)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, vp)[:, :T]
         elif cfg.attention_impl == "xla_merged":
             # same math as "xla" but with (B, H) flattened into ONE batch
             # dim for the two attention dots — gives XLA's convolution

@@ -199,11 +199,12 @@ def test_remat_policies_identical_forward_and_grad():
 
 
 def test_attention_layouts_identical():
-    """attention_impl in {"xla_merged", "packed", "packed4"} are
+    """attention_impl in {"xla_merged", "packed", "packed4", "pad128"} are
     layout-only changes: xla_merged flattens (B,H) into one batch dim;
     packed/packedN compute each g-head GROUP's scores/PV in one
-    block-diagonal full-depth dot (tools/exp_packed_attention.py). Same
-    math as "xla" in all cases."""
+    block-diagonal full-depth dot (tools/exp_packed_attention.py); pad128
+    pads T to a multiple of 128 with masked keys
+    (tools/repro_attn_bwd.py). Same math as "xla" in all cases."""
     import dataclasses
 
     import numpy as np
@@ -216,7 +217,7 @@ def test_attention_layouts_identical():
     x = jnp.asarray(
         np.random.default_rng(2).normal(size=(2, 3200)).astype(np.float32))
     results = {}
-    for impl in ("xla", "xla_merged", "packed", "packed4"):
+    for impl in ("xla", "xla_merged", "packed", "packed4", "pad128"):
         cfg = dataclasses.replace(XLSRConfig.tiny(), attention_impl=impl)
         enc = XLSREncoder(cfg)
         p = enc.init({"params": jax.random.PRNGKey(0),
@@ -226,7 +227,7 @@ def test_attention_layouts_identical():
         results[impl] = (out, np.asarray(jax.tree_util.tree_leaves(g)[0]))
     # layout-only change, but a different contraction layout reassociates
     # the fp accumulation — tolerances cover reassociation, not math drift
-    for impl in ("xla_merged", "packed", "packed4"):
+    for impl in ("xla_merged", "packed", "packed4", "pad128"):
         np.testing.assert_allclose(results["xla"][0], results[impl][0],
                                    rtol=1e-4, atol=1e-5, err_msg=impl)
         np.testing.assert_allclose(results["xla"][1], results[impl][1],
