@@ -491,6 +491,206 @@ def encode_flac_mono16(x: np.ndarray, sr: int, block_size: int = 4096,
     return bytes(out)
 
 
+_BPS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}
+_STEREO_CODES = {"left_side": 8, "right_side": 9, "mid_side": 10}
+
+
+def _signed_bits(vals) -> int:
+    """Smallest n with every v in [-2^(n-1), 2^(n-1))."""
+    n = 1
+    for v in vals:
+        need = (int(v).bit_length() + 1) if v >= 0 \
+            else ((-int(v) - 1).bit_length() + 1)
+        n = max(n, need)
+    return n
+
+
+def _encode_subframe_bits(sw: "_BitWriter", blk: np.ndarray, bps: int,
+                          kind: str, rice_method: int, po: int,
+                          force_escape: bool, wasted: int,
+                          lpc_precision: int, lpc_shift: int) -> None:
+    """One subframe, full spec surface: CONSTANT/VERBATIM/FIXED/LPC,
+    rice/rice2 partitions, escape partitions, wasted bits."""
+    n = len(blk)
+    if wasted:
+        assert not np.any(blk & ((1 << wasted) - 1)), \
+            "wasted bits declared but low bits are not zero"
+        blk = blk >> wasted
+        bps -= wasted
+    if kind == "constant":
+        assert n and np.all(blk == blk[0])
+    if kind.startswith("fixed"):
+        order = min(int(kind[-1]), n)
+    elif kind.startswith("lpc"):
+        order = min(int(kind[3:]), max(n, 1))
+    else:
+        order = 0
+
+    sw.write(0, 1)
+    if kind == "constant":
+        sw.write(0, 6)
+    elif kind == "verbatim":
+        sw.write(1, 6)
+    elif kind.startswith("fixed"):
+        sw.write(8 + order, 6)
+    else:
+        sw.write(31 + order, 6)
+    if wasted:
+        sw.write(1, 1)
+        sw.write_unary(wasted - 1)
+    else:
+        sw.write(0, 1)
+
+    if kind == "constant":
+        sw.write_signed(int(blk[0]), bps)
+        return
+    if kind == "verbatim":
+        for v in blk:
+            sw.write_signed(int(v), bps)
+        return
+
+    for v in blk[:order]:
+        sw.write_signed(int(v), bps)
+    if kind.startswith("fixed"):
+        coeffs = FIXED_COEFFS[order]
+        shift = 0
+    else:
+        # LPC mirroring the fixed-order predictor at the given shift
+        # (coefs within the precision range; residuals stay small)
+        base = list(FIXED_COEFFS[min(order, 4)]) + [0] * max(0, order - 4)
+        coeffs = tuple(c << lpc_shift for c in base[:order])
+        shift = lpc_shift
+        lim = 1 << (lpc_precision - 1)
+        assert all(-lim <= c < lim for c in coeffs), (coeffs, lpc_precision)
+        sw.write(lpc_precision - 1, 4)
+        sw.write_signed(shift, 5)
+        for c in coeffs:
+            sw.write_signed(c, lpc_precision)
+    res = []
+    for i in range(order, n):
+        acc = sum(c * int(blk[i - 1 - j]) for j, c in enumerate(coeffs))
+        res.append(int(blk[i]) - (acc >> shift))
+
+    plen = 4 if rice_method == 0 else 5
+    escape = (1 << plen) - 1
+    po_eff = po
+    while po_eff and (n % (1 << po_eff) or (n >> po_eff) < max(order, 1)):
+        po_eff -= 1  # tail frames fall back to coarser partitions
+    sw.write(rice_method, 2)
+    sw.write(po_eff, 4)
+    part_len = n >> po_eff
+    pos = 0
+    for p in range(1 << po_eff):
+        count = part_len - (order if p == 0 else 0)
+        part = res[pos: pos + count]
+        pos += count
+        if force_escape:
+            bits = _signed_bits(part) if part else 0
+            assert bits <= 31, "residuals exceed the 5-bit escape width"
+            sw.write(escape, plen)
+            sw.write(bits, 5)
+            if bits:
+                for r in part:
+                    sw.write_signed(r, bits)
+        else:
+            param = min(_best_rice_param(part, plen) if part else 0,
+                        escape - 1)
+            sw.write(param, plen)
+            for r in part:
+                z = (abs(r) << 1) - (1 if r < 0 else 0)
+                sw.write_unary(z >> param)
+                if param:
+                    sw.write(z & ((1 << param) - 1), param)
+
+
+def encode_flac(x: np.ndarray, sr: int, bps: int = 16,
+                block_size: int = 4096, subframe: str = "fixed2",
+                stereo: str = "independent", rice_method: int = 0,
+                partition_order: int = 0, force_escape: bool = False,
+                wasted: int = 0, lpc_precision: int = 12,
+                lpc_shift: int = 5) -> bytes:
+    """Generalised FLAC encoder over the spec surface both decoders
+    support (test vectors / the fuzz lane — not a production encoder):
+    1-8 channels, bps in {8,12,16,20,24}, CONSTANT/VERBATIM/FIXED/LPC
+    subframes, rice + rice2 residual partitions with escape partitions,
+    left/right/mid-side stereo decorrelation, wasted bits.
+
+    x: int samples [n] or [n, channels], values within bps (with `wasted`
+    low zero bits when wasted > 0). stereo in {"independent",
+    "left_side", "right_side", "mid_side"} (the latter three need 2ch).
+    """
+    x = np.asarray(x, np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_total, n_ch = x.shape
+    assert bps in _BPS_CODES, f"bps {bps} unsupported"
+    assert stereo == "independent" or n_ch == 2, stereo
+
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sr, 20)
+    si.write(n_ch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n_total & ((1 << 36) - 1), 36)
+    si.align()
+    out += bytes([0x80]) + (len(si.bytes()) + 16).to_bytes(3, "big")
+    out += si.bytes() + b"\x00" * 16  # md5 zeros
+
+    for frame_idx, start in enumerate(range(0, n_total, block_size)):
+        blk = x[start: start + block_size]
+        n = len(blk)
+        bw = _BitWriter()
+        bw.write(0x3FFE, 14)
+        bw.write(0, 1)
+        bw.write(0, 1)              # fixed blocking
+        bw.write(7, 4)              # explicit 16-bit block size
+        sr_code = {8000: 4, 16000: 5, 44100: 9, 48000: 10}.get(sr, 13)
+        bw.write(sr_code, 4)
+        ch_code = _STEREO_CODES.get(stereo, n_ch - 1)
+        bw.write(ch_code, 4)
+        bw.write(_BPS_CODES[bps], 3)
+        bw.write(0, 1)
+        for b in _utf8_coded(frame_idx):
+            bw.write(b, 8)
+        bw.write(n - 1, 16)
+        if sr_code == 13:
+            bw.write(sr, 16)
+        bw.align()
+        hdr = bw.bytes()
+        hdr += bytes([_crc8(hdr)])
+
+        if stereo == "independent":
+            subs = [(blk[:, c], bps) for c in range(n_ch)]
+        elif stereo == "left_side":
+            subs = [(blk[:, 0], bps), (blk[:, 0] - blk[:, 1], bps + 1)]
+        elif stereo == "right_side":
+            subs = [(blk[:, 0] - blk[:, 1], bps + 1), (blk[:, 1], bps)]
+        else:  # mid_side
+            subs = [((blk[:, 0] + blk[:, 1]) >> 1, bps),
+                    (blk[:, 0] - blk[:, 1], bps + 1)]
+
+        sw = _BitWriter()
+        for sub, sub_bps in subs:
+            # a derived side/mid channel may not carry the caller's
+            # wasted-low-zero-bits guarantee — declare wasted only where
+            # the low bits really are zero
+            w = wasted if (wasted and
+                           not np.any(sub & ((1 << wasted) - 1))) else 0
+            _encode_subframe_bits(
+                sw, sub, sub_bps, subframe, rice_method, partition_order,
+                force_escape, w, lpc_precision, lpc_shift,
+            )
+        sw.align()
+        frame = hdr + sw.bytes()
+        frame += _crc16(frame).to_bytes(2, "big")
+        out += frame
+    return bytes(out)
+
+
 def write_flac(path: str, x: np.ndarray, sr: int, **kwargs) -> None:
     """float32 [-1,1] mono -> 16-bit FLAC file (testing/tooling)."""
     pcm = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
