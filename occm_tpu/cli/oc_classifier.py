@@ -59,9 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
              "projections to per-channel int8 weights + dynamic per-row "
              "int8 activations on the MXU (occm_tpu.ops.int8). Scoring "
              "only — the checkpoint stays fp32 and is transformed at "
-             "load time. Embedding cosine vs exact ≈0.9996 "
-             "(tools/exp_int8_scoring.py); validate EER impact before "
-             "production use")
+             "load time. Accuracy evidence so far is tiny-scale/random-"
+             "weights only (cosine ≈0.9996, tools/exp_int8_scoring.py); "
+             "occm-parity-gate's int8 stage checks the EER delta on real "
+             "trained weights — run it before production use")
     parser.add_argument(
         "--allow_random_init", action="store_true",
         help="proceed with random weights if checkpoint restore fails "

@@ -50,7 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
              "per-row int8 activations on the MXU for the XLSR "
              "transformer projections (occm_tpu.ops.int8). The fp32 "
              "checkpoint is transformed at load time; embedding cosine "
-             "vs exact ≈0.9996. Validate EER impact before production")
+             "vs exact ≈0.9996 at tiny scale — real-weight EER delta is "
+             "checked by occm-parity-gate's int8 stage; run it first")
     parser.add_argument("--allow_random_init", action="store_true",
                         help="serve random weights (testing only)")
     parser.add_argument("--no_warmup", action="store_true",
