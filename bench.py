@@ -25,7 +25,7 @@ BASELINE_UTT_PER_SEC = 17.0
 
 
 def run(groups_per_step: int, k_dispatch: int = 16, chunks: int = 3,
-        warmup: int = 1, **xlsr_overrides):
+        warmup: int = 1, rawboost_algo: int = 0, **xlsr_overrides):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,7 +48,7 @@ def run(groups_per_step: int, k_dispatch: int = 16, chunks: int = 3,
         steps_per_dispatch=k_dispatch,
         compactness_weight=0.0,
         descriptiveness_weight=1.0,
-        rawboost=RawBoostConfig(algo=0),
+        rawboost=RawBoostConfig(algo=rawboost_algo),
         mesh=MeshConfig(dp=1, tp=1),
     )
     # fast numerics: bf16 layer norms/softmax + tanh GELU, validated
@@ -74,7 +74,10 @@ def run(groups_per_step: int, k_dispatch: int = 16, chunks: int = 3,
     sample = jnp.zeros((batch, cut), jnp.float32)
     state = create_train_state(model, rng, sample, optax.adam(cfg.lr))
     # k full optimizer steps per dispatch, scanned on device
-    step_fn = make_multi_step(cfg, k_dispatch, output_kind="dual")
+    step_fn = make_multi_step(
+        cfg, k_dispatch, apply_rawboost=cfg.rawboost.algo != 0,
+        output_kind="dual",
+    )
 
     xs = jnp.asarray(
         (np.random.default_rng(0).normal(size=(k_dispatch, batch, cut))

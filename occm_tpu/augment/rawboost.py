@@ -206,6 +206,39 @@ def lnl_convolutive_noise(key, x: jnp.ndarray, cfg: RawBoostConfig,
     return norm_wav(y, always=False)
 
 
+def _n_smallest_mask(u: jnp.ndarray, n_sel) -> jnp.ndarray:
+    """mask[i] = 1 iff u[i] is among the n_sel smallest entries of u
+    (non-negative floats; ties broken by index, matching a stable argsort).
+
+    Sort-free: positive IEEE-754 floats order like their bit patterns, so a
+    31-step integer bisection finds m* = the smallest bit pattern with
+    count(bits < m*) >= n_sel. Each step is one compare+reduce over u —
+    O(31·L) bandwidth instead of an O(L log L) sort, which dominated the
+    whole RawBoost pipeline on TPU (the [96, 64600] argsort alone cost more
+    than every filter in the LnL cascade combined — measured r4,
+    tools/bench_rawboost.py).
+    """
+    bits = jax.lax.bitcast_convert_type(u.astype(jnp.float32), jnp.int32)
+    n_sel = jnp.asarray(n_sel, jnp.int32)
+
+    def step(carry, _):
+        lo, hi = carry
+        mid = lo + ((hi - lo) >> 1)  # (lo+hi)/2 overflows int32 here
+        ge = jnp.sum(bits < mid) >= n_sel
+        return (jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)), None
+
+    # u <= 2.0 (masked lanes use 2.0), so every pattern is < 0x40000001
+    (m_star, _), _ = jax.lax.scan(
+        step, (jnp.int32(0), jnp.int32(0x40000001)), None, length=31
+    )
+    v_bits = m_star - 1  # bit pattern of the boundary value
+    below = bits < v_bits
+    ties = bits == v_bits
+    k_rem = n_sel - jnp.sum(below)
+    sel = below | (ties & (jnp.cumsum(ties.astype(jnp.int32)) <= k_rem))
+    return sel
+
+
 def isd_additive_noise(key, x: jnp.ndarray, cfg: RawBoostConfig,
                        length=None) -> jnp.ndarray:
     """Impulsive signal-dependent noise (reference: RawBoost.py:73-84).
@@ -213,8 +246,8 @@ def isd_additive_noise(key, x: jnp.ndarray, cfg: RawBoostConfig,
     A uniform subset of n = floor(L * beta / 100) samples receives
     r = g_sd * x * f_r with f_r a product of two centred uniforms. Subset
     selection reproduces `np.random.permutation(L)[:n]` via rank-of-uniform:
-    sample u ~ U(0,1)^L and keep the n smallest ranks (restricted to the
-    valid region when `length` is given).
+    sample u ~ U(0,1)^L and keep the n smallest (restricted to the valid
+    region when `length` is given), found sort-free by `_n_smallest_mask`.
     """
     L = x.shape[0]
     k_beta, k_perm, k_f1, k_f2 = jax.random.split(key, 4)
@@ -229,8 +262,7 @@ def isd_additive_noise(key, x: jnp.ndarray, cfg: RawBoostConfig,
     u = jax.random.uniform(k_perm, (L,))
     if length is not None:
         u = jnp.where(jnp.arange(L) < length, u, 2.0)  # invalid ranks last
-    ranks = jnp.argsort(jnp.argsort(u))
-    selected = (ranks < n_sel).astype(x.dtype)
+    selected = _n_smallest_mask(u, n_sel).astype(x.dtype)
 
     f_r = (2.0 * jax.random.uniform(k_f1, (L,)) - 1.0) * (
         2.0 * jax.random.uniform(k_f2, (L,)) - 1.0

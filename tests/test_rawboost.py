@@ -127,6 +127,28 @@ def test_lnl_output_statistics():
     assert corr > 0.4
 
 
+def test_n_smallest_mask_matches_argsort_reference():
+    """The sort-free bisection selection must equal the stable-argsort
+    rank-of-uniform definition exactly — including float32 ties (quantized
+    draws force many) and the n_sel edge cases 0, 1, L."""
+    from occm_tpu.augment.rawboost import _n_smallest_mask
+
+    rng = np.random.default_rng(0)
+    for L, quantize in [(997, False), (4096, True), (20000, True)]:
+        u = rng.uniform(size=L).astype(np.float32)
+        if quantize:  # map onto 37 distinct values -> guaranteed ties
+            u = (np.floor(u * 37) / 37).astype(np.float32)
+        # masked-lane convention: some entries pinned to 2.0
+        u[rng.choice(L, L // 10, replace=False)] = 2.0
+        ranks = np.argsort(np.argsort(u, kind="stable"), kind="stable")
+        for n_sel in [0, 1, 7, L // 3, L]:
+            want = ranks < n_sel
+            got = np.asarray(
+                _n_smallest_mask(jnp.asarray(u), jnp.int32(n_sel))
+            )
+            assert np.array_equal(got, want), (L, quantize, n_sel)
+
+
 def test_isd_modifies_expected_fraction():
     key = jax.random.PRNGKey(3)
     rng = np.random.default_rng(3)
