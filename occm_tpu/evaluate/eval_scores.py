@@ -73,11 +73,11 @@ def evaluate_scores(score_file: str, protocol_file: str, metadata_file: str,
     }
 
 
-def calculate_eer_merged(eval_protocol_file: str, score_file: str
-                         ) -> Tuple[float, float]:
-    """calculate_eer.py pipeline (reference: calculate_eer.py:6-26):
-    join `utt score` rows to the 5-column protocol on utt, then
-    compute_eer(bonafide, spoof)."""
+def _merged_bona_spoof(eval_protocol_file: str, score_file: str
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Join `utt score` rows to the 5-column protocol on utt and split by
+    label (the calculate_eer.py:15-23 pandas-merge semantics: unmatched
+    utterances drop out)."""
     files, labels = parse_train_protocol(eval_protocol_file)
     label_of = dict(zip(files, labels))
     utts, scores = read_utt_scores(score_file)
@@ -89,4 +89,28 @@ def calculate_eer_merged(eval_protocol_file: str, score_file: str
             spoof.append(score)
         elif lab == "bonafide":
             bona.append(score)
-    return compute_eer(np.asarray(bona), np.asarray(spoof))
+    return np.asarray(bona), np.asarray(spoof)
+
+
+def calculate_eer_merged(eval_protocol_file: str, score_file: str
+                         ) -> Tuple[float, float]:
+    """calculate_eer.py pipeline (reference: calculate_eer.py:6-26):
+    join `utt score` rows to the 5-column protocol on utt, then
+    compute_eer(bonafide, spoof)."""
+    bona, spoof = _merged_bona_spoof(eval_protocol_file, score_file)
+    return compute_eer(bona, spoof)
+
+
+def calculate_tdcf_merged(eval_protocol_file: str, score_file: str,
+                          asv_score_file: str, version: str = "v2"
+                          ) -> Tuple[float, float]:
+    """Normalized minimum t-DCF over the same merged scores as
+    calculate_eer_merged. Beyond-reference: the reference stops at EER, but
+    ASVspoof ranks by min t-DCF (occm_tpu/metrics/tdcf.py). The ASV
+    operating point comes from an official-format `... key score` ASV score
+    file. Returns (min_tdcf_norm, cm_threshold)."""
+    from occm_tpu.metrics import compute_min_tdcf, read_asv_scores
+
+    bona, spoof = _merged_bona_spoof(eval_protocol_file, score_file)
+    asv = read_asv_scores(asv_score_file)
+    return compute_min_tdcf(bona, spoof, asv, version=version)

