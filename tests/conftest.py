@@ -22,3 +22,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite compiles the same tiny-model
+# programs (tiny XLSR encoder, AASIST blocks, train steps) dozens of times
+# across test files and across runs; caching them on disk cuts the fast
+# lane's wall time roughly in half after the first run (VERDICT r3 item 9).
+# Thresholds are zeroed so even sub-second compilations are cached — the
+# suite's cost is the *number* of small compilations, not a few big ones.
+# Cache hits log a cosmetic XLA:CPU "machine feature +prefer-no-scatter"
+# E-line: the loader compares XLA's pseudo-features against detected host
+# features; same-host loads are fine (the suite stays green on hits).
+_CACHE_DIR = os.environ.get(
+    "OCCM_TEST_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+if _CACHE_DIR != "0":
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

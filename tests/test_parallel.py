@@ -118,11 +118,11 @@ def test_sp_sharded_forward_matches_replicated():
     np.testing.assert_allclose(np.asarray(sp.apply(variables, wave)), ref,
                                atol=0)
 
-    # the untested combination is refused loudly
-    both = XLSREncoder(dataclasses.replace(
-        XLSRConfig.tiny(), seq_parallel=True, pp_stages=2))
+    # the untested combination is refused loudly — at config
+    # construction since the r3 advisor fix (config.py __post_init__)
     with pytest.raises(ValueError, match="seq_parallel"):
-        both.apply(variables, wave)
+        dataclasses.replace(
+            XLSRConfig.tiny(), seq_parallel=True, pp_stages=2)
 
 
 def test_tp_sharded_forward_matches_replicated():
