@@ -1,3 +1,5 @@
-from occm_tpu.classify.scoring import OneClassScorer, BucketedEmbedder
+from occm_tpu.classify.scoring import (
+    OneClassScorer, BucketedEmbedder, make_dp_mesh,
+)
 
-__all__ = ["OneClassScorer", "BucketedEmbedder"]
+__all__ = ["OneClassScorer", "BucketedEmbedder", "make_dp_mesh"]

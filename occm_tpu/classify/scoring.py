@@ -17,6 +17,14 @@ TPU-first: where the reference loops batch=1 full-length utterances through
 DataParallel, utterances here are repeat-padded to a small set of length
 buckets and embedded in batches — one compiled program per bucket, MXU fed
 with real batches. distances use torch pairwise_distance eps semantics.
+
+Multi-chip scoring: the reference wraps the inference model in
+``torch.nn.DataParallel`` (reference: oc_classifier.py:343) so eval batches
+scatter over every local GPU. The TPU-native equivalent is a ``("dp",)``
+`jax.sharding.Mesh` over the local chips: pass ``mesh=`` (see
+:func:`make_dp_mesh`) and every bucket executable is compiled with its batch
+axis sharded over the mesh — GSPMD replicates the weights and each chip
+embeds ``batch_size / n_dev`` utterances per dispatch.
 """
 
 from __future__ import annotations
@@ -27,10 +35,25 @@ from typing import Callable, Iterable, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from occm_tpu.audio import pad_numpy
 from occm_tpu.io.scorefiles import write_score_line_1c, write_score_line_2c
 from occm_tpu.losses import pairwise_distance
+
+
+def make_dp_mesh(num_devices: Optional[int] = None,
+                 axis: str = "dp") -> Mesh:
+    """A 1-D data-parallel mesh over the first `num_devices` local devices
+    (all of them by default) — the TPU-native stand-in for the reference's
+    `DataParallel(aasist)` at inference (reference: oc_classifier.py:343)."""
+    devs = jax.devices()
+    if num_devices is not None:
+        if num_devices > len(devs):
+            raise ValueError(
+                f"requested {num_devices} devices, only {len(devs)} present")
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (axis,))
 
 
 class BucketedEmbedder:
@@ -42,13 +65,31 @@ class BucketedEmbedder:
     """
 
     def __init__(self, embed_fn: Callable, bucket_step: int = 16000,
-                 max_len: Optional[int] = None, batch_size: int = 8):
+                 max_len: Optional[int] = None, batch_size: int = 8,
+                 mesh: Optional[Mesh] = None):
         """max_len=None (default) never truncates: every utterance gets a
         bucket at least its own length, exactly like the reference's
         full-length batch=1 scoring (reference: oc_classifier.py:93-94).
         Set max_len only to deliberately cap compile-cache growth, accepting
-        an EER-affecting crop of longer utterances."""
-        self._embed = jax.jit(embed_fn)
+        an EER-affecting crop of longer utterances.
+
+        mesh: optional 1-axis data-parallel mesh (make_dp_mesh()); the batch
+        axis of every bucket program is sharded over it and batch_size is
+        rounded up to a multiple of the mesh size."""
+        self.mesh = mesh
+        if mesh is None:
+            self._embed = jax.jit(embed_fn)
+        else:
+            if len(mesh.axis_names) != 1:
+                raise ValueError(
+                    f"scoring mesh must have exactly one axis, got "
+                    f"{mesh.axis_names}")
+            (ax,) = mesh.axis_names
+            n = mesh.devices.size
+            batch_size = ((batch_size + n - 1) // n) * n
+            sh = NamedSharding(mesh, P(ax))
+            self._embed = jax.jit(
+                embed_fn, in_shardings=sh, out_shardings=sh)
         self.bucket_step = bucket_step
         self.max_len = max_len
         self.batch_size = batch_size
@@ -85,7 +126,9 @@ class BucketedEmbedder:
                     batch = np.concatenate(
                         [batch, np.zeros((pad_rows, blen), np.float32)]
                     )
-                emb, logits = self._embed(jnp.asarray(batch))
+                # numpy in: jit places it per in_shardings (sharded over
+                # the dp mesh when one is configured)
+                emb, logits = self._embed(batch)
                 emb = np.asarray(emb)
                 logits = np.asarray(logits)
                 for j, i in enumerate(chunk):

@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--score_file", type=str, default="scores.txt")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--bucket_step", type=int, default=16000)
+    parser.add_argument(
+        "--data_parallel", type=int, default=0, metavar="N",
+        help="shard scoring batches over N local devices (-1 = all) — the "
+             "TPU equivalent of the reference's DataParallel(aasist) at "
+             "inference (reference: oc_classifier.py:343). batch_size is "
+             "rounded up to a multiple of N. Default 0 = single device.")
     parser.add_argument("--xlsr_tiny", action="store_true")
     parser.add_argument(
         "--fast_numerics", action="store_true", default=False,
@@ -203,8 +209,17 @@ def main(argv=None):
             emb = logits = out
         return emb, logits
 
+    mesh = None
+    if args.data_parallel:
+        from occm_tpu.classify import make_dp_mesh
+
+        n = None if args.data_parallel == -1 else args.data_parallel
+        mesh = make_dp_mesh(n)
+        print(f"scoring data-parallel over {mesh.devices.size} devices")
+
     embedder = BucketedEmbedder(
-        embed_fn, bucket_step=args.bucket_step, batch_size=args.batch_size
+        embed_fn, bucket_step=args.bucket_step, batch_size=args.batch_size,
+        mesh=mesh,
     )
     scorer = OneClassScorer(embedder)
 

@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "AOT-compile at startup")
     parser.add_argument("--max_wait_ms", type=float, default=5.0,
                         help="dynamic-batching wait bound")
+    parser.add_argument(
+        "--data_parallel", type=int, default=0, metavar="N",
+        help="shard serving batches over N local devices (-1 = all) — the "
+             "TPU equivalent of the reference's DataParallel at inference "
+             "(reference: oc_classifier.py:343). batch_size is rounded up "
+             "to a multiple of N. Default 0 = single device.")
     parser.add_argument("--xlsr_tiny", action="store_true")
     parser.add_argument(
         "--fast_numerics", action="store_true", default=False,
@@ -138,10 +144,19 @@ def main(argv=None, started_event=None):
             xlsr_cfg=dataclasses.replace(xlsr_cfg, quant_int8=True),
         )
 
+    mesh = None
+    if args.data_parallel:
+        from occm_tpu.classify import make_dp_mesh
+
+        n = None if args.data_parallel == -1 else args.data_parallel
+        mesh = make_dp_mesh(n)
+        print(f"serving data-parallel over {mesh.devices.size} devices")
+
     service = ScoringService(
         make_score_fn(model, params, batch_stats),
         reference, threshold,
         buckets=tuple(args.buckets), batch=args.batch_size,
+        mesh=mesh,
     )
     if not args.no_warmup:
         print(f"AOT-compiling {len(args.buckets)} bucket executables...")

@@ -43,10 +43,22 @@ def make_score_fn(model, params, batch_stats=None) -> Callable:
     return fn
 
 
-def aot_compile(fn: Callable, batch: int, length: int):
-    """Ahead-of-time compile for a fixed input shape."""
+def aot_compile(fn: Callable, batch: int, length: int, mesh=None):
+    """Ahead-of-time compile for a fixed input shape.
+
+    mesh: optional 1-axis data-parallel jax.sharding.Mesh
+    (occm_tpu.classify.make_dp_mesh) — the batch axis of the compiled
+    executable is sharded over it, the TPU equivalent of the reference's
+    DataParallel at inference (reference: oc_classifier.py:343). `batch`
+    must be a multiple of the mesh size."""
     x = jax.ShapeDtypeStruct((batch, length), jnp.float32)
-    return jax.jit(fn).lower(x).compile()
+    if mesh is None:
+        return jax.jit(fn).lower(x).compile()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    (ax,) = mesh.axis_names
+    sh = NamedSharding(mesh, P(ax))
+    return jax.jit(fn, in_shardings=sh, out_shardings=sh).lower(x).compile()
 
 
 def export_stablehlo(fn: Callable, batch: int, length: int,
@@ -74,10 +86,18 @@ class ScoringService:
         threshold: float,
         buckets: Sequence[int] = (16000, 48000, 64600, 96000),
         batch: int = 8,
+        mesh=None,
     ):
+        """mesh: optional 1-axis dp mesh (occm_tpu.classify.make_dp_mesh);
+        bucket executables shard their batch axis over it and `batch` is
+        rounded up to a multiple of the mesh size."""
         self._fn = score_fn
         self.reference = jnp.asarray(reference_embedding)
         self.threshold = float(threshold)
+        self.mesh = mesh
+        if mesh is not None:
+            n = mesh.devices.size
+            batch = ((batch + n - 1) // n) * n
         self.batch = batch
         self.buckets = sorted(buckets)
         self._compiled: Dict[int, Callable] = {}
@@ -88,7 +108,8 @@ class ScoringService:
 
     def _get(self, bucket: int):
         if bucket not in self._compiled:
-            self._compiled[bucket] = aot_compile(self._fn, self.batch, bucket)
+            self._compiled[bucket] = aot_compile(
+                self._fn, self.batch, bucket, mesh=self.mesh)
         return self._compiled[bucket]
 
     def _bucket_for(self, n: int) -> int:
@@ -119,7 +140,9 @@ class ScoringService:
                 batch_arr = np.zeros((self.batch, bucket), np.float32)
                 for j, i in enumerate(chunk):
                     batch_arr[j] = pad_numpy(waves[i], bucket)
-                emb, _ = exe(jnp.asarray(batch_arr))
+                # numpy in: the compiled executable shards it per its
+                # in_shardings (over the dp mesh when one is configured)
+                emb, _ = exe(batch_arr)
                 d = np.asarray(
                     pairwise_distance(emb, self.reference)
                 )
