@@ -139,6 +139,24 @@ def build_parser() -> argparse.ArgumentParser:
              "bit-identically from it. 0 = per-epoch only")
     parser.add_argument("--debug_nans", action="store_true",
                         help="enable jax_debug_nans (fail fast on NaNs)")
+    parser.add_argument(
+        "--grad_accum", type=int, default=1,
+        help="accumulate gradients over N micro-batches (whole "
+             "meta-batches each) before ONE optimizer update — "
+             "numerically equivalent to the single big-batch update "
+             "(global-denominator scaling; tests/test_grad_accum.py) "
+             "while peak activation HBM drops ~N-fold. "
+             "groups_per_step must be divisible by N")
+    parser.add_argument(
+        "--lr_schedule", type=str, default="constant",
+        choices=["constant", "cosine", "linear"],
+        help="learning-rate schedule over optimizer steps (constant = "
+             "the reference's fixed lr, oc_training.py:324; cosine/"
+             "linear: warmup over --warmup_steps then decay over "
+             "--decay_steps to lr*--lr_end_ratio)")
+    parser.add_argument("--warmup_steps", type=int, default=0)
+    parser.add_argument("--decay_steps", type=int, default=0)
+    parser.add_argument("--lr_end_ratio", type=float, default=0.0)
     return parser
 
 
@@ -186,6 +204,11 @@ def main(argv=None):
         wandb_project=args.wandb_project,
         steps_per_dispatch=args.steps_per_dispatch,
         checkpoint_every_steps=args.checkpoint_every_steps,
+        grad_accum=args.grad_accum,
+        lr_schedule=args.lr_schedule,
+        warmup_steps=args.warmup_steps,
+        decay_steps=args.decay_steps,
+        lr_end_ratio=args.lr_end_ratio,
     )
 
     print("*************************************************")

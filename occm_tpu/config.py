@@ -348,3 +348,49 @@ class TrainConfig:
     # order), so the resumed trajectory is bit-identical to an
     # uninterrupted run (tests/test_step_checkpoint.py). 0 = off.
     checkpoint_every_steps: int = 0
+    # Gradient accumulation: split each [G*12, T] step batch into
+    # `grad_accum` equal micro-batches (whole meta-batches each), scan the
+    # forward+backward over them on device, and apply ONE optimizer update
+    # on the accumulated gradient. Gradients are accumulated pre-scaled by
+    # each micro-batch's share of the global (weighted) denominator, so the
+    # update is numerically equivalent to the single big-batch update —
+    # including ragged multi-host tails (tests/test_grad_accum.py). The
+    # reference has no equivalent (it is HBM headroom for 300M-scale
+    # fine-tuning: peak activation memory drops ~grad_accum-fold while the
+    # effective batch is unchanged). BatchNorm batch statistics are
+    # computed per micro-batch (the standard grad-accumulation semantics,
+    # same as torch); running stats chain sequentially through the scan.
+    grad_accum: int = 1
+    # Learning-rate schedule over OPTIMIZER steps (the reference trains at
+    # a constant lr, oc_training.py:324 — "constant" reproduces it):
+    #   constant — cfg.lr forever (default; reference parity)
+    #   cosine   — linear warmup over `warmup_steps` from 0 to cfg.lr,
+    #              then cosine decay to lr*lr_end_ratio over `decay_steps`
+    #   linear   — linear warmup, then linear decay to lr*lr_end_ratio
+    # Schedules require the optax optimizer ("adam"); the Pallas fused_adam
+    # takes a fixed scalar lr.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    decay_steps: int = 0
+    lr_end_ratio: float = 0.0
+
+    def __post_init__(self):
+        if self.grad_accum < 1:
+            raise ValueError("grad_accum must be >= 1")
+        if self.groups_per_step % self.grad_accum:
+            raise ValueError(
+                f"groups_per_step ({self.groups_per_step}) must be divisible "
+                f"by grad_accum ({self.grad_accum}): every micro-batch holds "
+                "whole meta-batches so the per-group compactness term is "
+                "computable")
+        if self.lr_schedule not in ("constant", "cosine", "linear"):
+            raise ValueError(f"unknown lr_schedule {self.lr_schedule!r} "
+                             "(constant | cosine | linear)")
+        if self.lr_schedule != "constant":
+            if self.decay_steps <= 0:
+                raise ValueError(
+                    f"lr_schedule={self.lr_schedule!r} needs decay_steps > 0")
+            if self.optimizer != "adam":
+                raise ValueError(
+                    "lr schedules require optimizer='adam' (fused_adam "
+                    "takes a fixed scalar lr)")

@@ -126,6 +126,37 @@ def make_train_step(cfg: TrainConfig, apply_rawboost: bool = False,
     )
 
 
+def make_optimizer(cfg: TrainConfig):
+    """Build the optimizer from cfg: optax Adam under the configured lr
+    schedule ("constant" reproduces the reference's fixed lr,
+    oc_training.py:324), or the single-pass Pallas FusedAdam.
+
+    Returns (tx, schedule_fn) — schedule_fn(step)->lr for logging (None for
+    fused_adam, whose lr is a fixed scalar; cfg validation rejects
+    non-constant schedules with it)."""
+    if cfg.optimizer == "fused_adam":
+        from occm_tpu.ops.fused_adam import FusedAdam
+
+        return FusedAdam(cfg.lr), None
+    if cfg.lr_schedule == "constant":
+        sched = optax.constant_schedule(cfg.lr)
+    elif cfg.lr_schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.lr,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=cfg.warmup_steps + cfg.decay_steps,
+            end_value=cfg.lr * cfg.lr_end_ratio,
+        )
+    else:  # linear
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.lr, max(cfg.warmup_steps, 1)),
+             optax.linear_schedule(cfg.lr, cfg.lr * cfg.lr_end_ratio,
+                                   cfg.decay_steps)],
+            boundaries=[cfg.warmup_steps],
+        )
+    return optax.adam(sched), sched
+
+
 def _train_step_body(cfg: TrainConfig, apply_rawboost: bool,
                      output_kind: str) -> Callable:
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:
@@ -137,14 +168,14 @@ def _train_step_body(cfg: TrainConfig, apply_rawboost: bool,
         if apply_rawboost and cfg.rawboost.algo != 0:
             x = batch_rawboost(rb_rng, x, cfg.rawboost)
 
-        def loss_fn(params):
+        def loss_fn(params, batch_stats, x, labels, weights, drop_rng):
             variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
             out, mutated = state.apply_fn(
                 variables, x, train=True,
                 rngs={"dropout": drop_rng},
-                mutable=["batch_stats"] if state.batch_stats else [],
+                mutable=["batch_stats"] if batch_stats else [],
             )
             if output_kind == "dual":
                 emb, logits = out
@@ -187,13 +218,61 @@ def _train_step_body(cfg: TrainConfig, apply_rawboost: bool,
                 d_loss = descriptiveness_loss(logits, labels, weights)
                 c_loss = jnp.zeros(())
                 loss = cfg.descriptiveness_weight * d_loss
-            new_stats = mutated.get("batch_stats", state.batch_stats) \
-                if isinstance(mutated, dict) else state.batch_stats
+            new_stats = mutated.get("batch_stats", batch_stats) \
+                if isinstance(mutated, dict) else batch_stats
             return loss, (c_loss, d_loss, new_stats)
 
-        (loss, (c_loss, d_loss, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        accum = max(1, cfg.grad_accum)
+        if accum == 1:
+            (loss, (c_loss, d_loss, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, x, labels, weights, drop_rng
+            )
+        else:
+            # Micro-batched accumulation: scan the forward+backward over
+            # `accum` equal micro-batches (whole meta-batches each —
+            # enforced by TrainConfig.__post_init__) and sum gradients
+            # pre-scaled by each micro-batch's share r_i of the global
+            # weighted denominator. Both loss terms are ratios of weighted
+            # sums whose weights are constant within a meta-batch, so
+            # r_i = sum(w_micro)/sum(w_global) makes
+            # sum_i r_i * grad(micro_loss_i) EXACTLY the big-batch
+            # gradient (and sum_i r_i * micro_loss_i the big-batch loss) —
+            # ragged multi-host tails included (tests/test_grad_accum.py).
+            # BatchNorm running stats chain sequentially micro->micro.
+            mb = x.shape[0] // accum
+            xs = x.reshape((accum, mb) + x.shape[1:])
+            ls = labels.reshape(accum, mb)
+            drop_rngs = jax.random.split(drop_rng, accum)
+            if weights is None:
+                ws = None
+                rs = jnp.full((accum,), 1.0 / accum, jnp.float32)
+            else:
+                ws = weights.reshape(accum, mb)
+                rs = jnp.sum(ws, axis=1) / jnp.maximum(
+                    jnp.sum(weights), 1.0)
+
+            def accum_body(carry, inp):
+                acc, stats = carry
+                if ws is None:
+                    xi, li, ri, ki = inp
+                    wi = None
+                else:
+                    xi, li, wi, ri, ki = inp
+                (loss_i, (c_i, d_i, stats_i)), g_i = grad_fn(
+                    state.params, stats, xi, li, wi, ki)
+                acc = jax.tree_util.tree_map(
+                    lambda a, g: a + ri * g, acc, g_i)
+                return (acc, stats_i), (ri * loss_i, ri * c_i, ri * d_i)
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            inputs = (xs, ls, rs, drop_rngs) if ws is None else \
+                (xs, ls, ws, rs, drop_rngs)
+            (grads, new_stats), (losses, closses, dlosses) = jax.lax.scan(
+                accum_body, (zero, state.batch_stats), inputs)
+            loss = jnp.sum(losses)
+            c_loss = jnp.sum(closses)
+            d_loss = jnp.sum(dlosses)
         new_state = state.apply_gradients(grads, new_stats)
         metrics = {"loss": loss, "closs": c_loss, "dloss": d_loss}
         return new_state, metrics
@@ -268,12 +347,7 @@ def train(
         sample_input = jnp.zeros(
             (cfg.groups_per_step * cfg.meta_batch, cfg.cut), jnp.float32
         )
-    if cfg.optimizer == "fused_adam":
-        from occm_tpu.ops.fused_adam import FusedAdam
-
-        tx = FusedAdam(cfg.lr)
-    else:
-        tx = optax.adam(cfg.lr)
+    tx, _ = make_optimizer(cfg)
     rng, init_rng = jax.random.split(rng)
     state = create_train_state(model, init_rng, sample_input, tx)
     if param_graft is not None:
