@@ -209,6 +209,12 @@ class XLSRConfig:
     # HBM traffic (the conv stack is activation-bandwidth-bound, not
     # FLOP-bound: ~180 GFLOP total but ~40 ms measured)
     conv_remat: bool = False
+    # Debug/perf-attribution impls (attention_impl="skip" passes V through
+    # UNTOUCHED — not attention) are refused at construction unless this
+    # is set (r4 verdict weak #5: a typo'd config would otherwise train a
+    # model with no attention, silently). bench/profiling A/B harnesses
+    # set it explicitly.
+    allow_debug_impls: bool = False
 
     def __post_init__(self):
         # sp shards the residual stream's time axis over "tp" between
@@ -218,6 +224,36 @@ class XLSRConfig:
         if self.seq_parallel and self.pp_stages > 1:
             raise ValueError(
                 "seq_parallel is not composable with pp_stages > 1")
+        impl = self.attention_impl
+        packed_ok = impl.startswith("packed") and (
+            impl == "packed" or impl[len("packed"):].isdigit())
+        if impl not in ("xla", "xla_merged", "pad128", "flash",
+                        "skip") and not packed_ok:
+            raise ValueError(
+                f"unknown attention_impl {impl!r} (xla | xla_merged | "
+                "packed[N] | pad128 | flash | skip) — previously a typo "
+                "fell through to the plain xla path silently")
+        if impl == "skip" and not self.allow_debug_impls:
+            raise ValueError(
+                'attention_impl="skip" passes V through untouched (perf '
+                "attribution only, NOT attention); set "
+                "allow_debug_impls=True to use it in an A/B harness")
+        for field, value, valid in (
+            ("pos_conv_impl", self.pos_conv_impl,
+             ("grouped", "batched", "s2d")),
+            ("ffn_impl", self.ffn_impl, ("xla", "pallas")),
+            ("ln_impl", self.ln_impl, ("xla", "pallas")),
+            ("extractor_mode", self.extractor_mode,
+             ("layer_norm", "default")),
+            ("dtype", self.dtype, ("bfloat16", "float32")),
+            ("norm_dtype", self.norm_dtype, ("bfloat16", "float32")),
+            ("remat_policy", self.remat_policy,
+             ("nothing", "dots", "attn_out", "attn_out_inner",
+              "attn_probs", "attn_all")),
+        ):
+            if value not in valid:
+                raise ValueError(
+                    f"unknown {field} {value!r} ({' | '.join(valid)})")
 
     @staticmethod
     def base() -> "XLSRConfig":
@@ -360,6 +396,11 @@ class TrainConfig:
     # effective batch is unchanged). BatchNorm batch statistics are
     # computed per micro-batch (the standard grad-accumulation semantics,
     # same as torch); running stats chain sequentially through the scan.
+    # With dropout active each micro-batch draws a distinct rng, so
+    # equivalence to the big batch holds modulo dropout noise (exact at
+    # dropout 0). A ragged tail batch whose group count is not divisible
+    # by grad_accum falls back to a single-pass gradient in the step
+    # (train/loop.py) — exact by the same construction.
     grad_accum: int = 1
     # Learning-rate schedule over OPTIMIZER steps (the reference trains at
     # a constant lr, oc_training.py:324 — "constant" reproduces it):

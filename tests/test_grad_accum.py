@@ -103,6 +103,29 @@ def test_accum_equals_big_batch_weighted():
         jax.device_get(s1.params), jax.device_get(s2.params))
 
 
+@pytest.mark.parametrize("tail_groups", [1, 3, 5])
+def test_accum_ragged_tail_falls_back(tail_groups):
+    # The pipeline's drop_remainder=False yields a last batch with fewer
+    # groups than TrainConfig validated. grad_accum must fall back to the
+    # single-pass gradient for that shape (r4 advisor, high): without the
+    # fallback, tail_groups=1 with accum=2 fails at trace time and
+    # tail_groups=5 silently splits meta-batches across micro-batches.
+    import optax
+
+    tx = optax.sgd(1e-2)
+    cfg_big = _base_cfg(groups_per_step=6)
+    cfg_accum = _base_cfg(groups_per_step=6, grad_accum=2)
+    batch = _batch(groups=tail_groups)
+    s1, m1 = _run_step(cfg_big, batch, tx=tx)
+    s2, m2 = _run_step(cfg_accum, batch, tx=tx)
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m2[k], rtol=1e-6, atol=0)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        jax.device_get(s1.params), jax.device_get(s2.params))
+
+
 def test_accum_validation():
     with pytest.raises(ValueError, match="divisible"):
         _base_cfg(groups_per_step=3, grad_accum=2)

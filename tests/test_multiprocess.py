@@ -110,7 +110,7 @@ def _parent_state_and_step(cfg_lr=1e-3):
         AASISTConfig, MeshConfig, RawBoostConfig, TrainConfig, XLSRConfig,
     )
     from occm_tpu.models import AModel
-    from occm_tpu.parallel import make_mesh, place_state_on_mesh
+    from occm_tpu.parallel import compute_mesh, make_mesh, place_state_on_mesh
     from occm_tpu.train.loop import make_multi_step, make_train_step
     from occm_tpu.train.state import create_train_state
 
@@ -166,7 +166,7 @@ def test_multiprocess_step_matches_single_process(worker_results):
     labels = np.tile(np.array([0] * 6 + [1] * 6, np.int32), N_PROC)
 
     state = fresh_state()
-    with mesh:
+    with compute_mesh(mesh):
         batch = make_global_batch((x, labels), mesh, P("dp"))
         state, metrics = step(state, batch, jax.random.PRNGKey(7))
     assert results[0]["step_loss"] == pytest.approx(
@@ -215,7 +215,7 @@ def test_multiprocess_chunk_matches_single_process(worker_results):
                            optax.sgd(cfg.lr)),
         mesh,
     )
-    with mesh:
+    with compute_mesh(mesh):
         chunk = make_global_batch((xs, ls), mesh, P(None, "dp"))
         state, m = multi(state, chunk, jax.random.PRNGKey(9))
     assert results[0]["chunk_loss"] == pytest.approx(float(m["loss"]),
@@ -236,7 +236,7 @@ def test_multiprocess_weighted_tail_matches_single_process(worker_results):
                         np.zeros(((N_PROC - 1) * META,), np.float32)])
 
     state = fresh_state()
-    with mesh:
+    with compute_mesh(mesh):
         batch = make_global_batch((x, labels, w), mesh, P("dp"))
         state, m = step(state, batch, jax.random.PRNGKey(11))
     assert results[0]["tail_loss"] == pytest.approx(float(m["loss"]),

@@ -11,6 +11,7 @@ from jax.sharding import PartitionSpec as P
 from occm_tpu.config import MeshConfig, XLSRConfig
 from occm_tpu.models import XLSREncoder
 from occm_tpu.parallel import (
+    compute_mesh,
     batch_sharding,
     make_mesh,
     param_shardings,
@@ -103,7 +104,7 @@ def test_sp_sharded_forward_matches_replicated():
         jax.device_put, dict(variables["params"]), dict(sh)
     )
     wave_sharded = jax.device_put(wave, batch_sharding(mesh))
-    with mesh:
+    with compute_mesh(mesh):
         out = jax.jit(
             lambda p, x: sp.apply({"params": p}, x)
         )(params_sharded, wave_sharded)
@@ -125,6 +126,68 @@ def test_sp_sharded_forward_matches_replicated():
             XLSRConfig.tiny(), seq_parallel=True, pp_stages=2)
 
 
+def test_sp_constraint_binds_in_hlo():
+    """The sequence-parallel constraint must actually bind (r4 verdict
+    weak #4: a silent no-op regression of _sp_constrain would pass the
+    SP==replicated equality test with identical numerics). Two pieces of
+    distinguishing evidence: (a) the LOWERED program carries a
+    sharding-constraint op pinning the frames axis of a rank-3 residual
+    activation to "tp" (absent with seq_parallel off); (b) the COMPILED
+    program's collective signature changes — on this toolchain the
+    sequence-sharded residual path replaces the plain TP all-reduces
+    with gather-form collectives (on TPU, reduce-scatter + all-gather
+    pairs). The exact collective choice is the partitioner's; the test
+    pins only that it differs from the unconstrained program."""
+    import dataclasses
+    import re
+
+    gen = np.random.default_rng(0)
+    wave = jnp.asarray(gen.normal(size=(8, 3200)).astype(np.float32) * 0.1)
+    mesh = make_mesh(MeshConfig(dp=2, tp=4))
+
+    def lower_sp(sp_on: bool):
+        cfg = dataclasses.replace(XLSRConfig.tiny(), seq_parallel=sp_on)
+        model = XLSREncoder(cfg)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(0)}, wave)["params"]
+        sh = param_shardings(params, mesh)
+        params_sharded = jax.tree_util.tree_map(jax.device_put, params, sh)
+        wave_sharded = jax.device_put(wave, batch_sharding(mesh))
+        with compute_mesh(mesh):
+            return (
+                jax.jit(lambda p, x: model.apply({"params": p}, x))
+                .lower(params_sharded, wave_sharded)
+            )
+
+    def collective_counts(compiled_text: str) -> dict:
+        return {
+            op: len(re.findall(r"%?" + op + r"[.\d]*\s*=", compiled_text))
+            for op in ("all-reduce", "all-gather", "reduce-scatter",
+                       "collective-permute", "all-to-all")
+        }
+
+    low_on, low_off = lower_sp(True), lower_sp(False)
+    # (a) the T-axis-over-tp constraint op is present in the lowered text:
+    # a rank-3 tensor whose middle (frames) dim is pinned to "tp"
+    # (GSPMD: mhlo.sharding custom-call; Shardy: sdy.sharding_constraint)
+    sp_marker = re.compile(
+        r'sdy\.sharding_constraint .*\{"tp"\}, \{\}\]'   # shardy
+        r'|mhlo\.sharding = "\{devices=\[1,[0-9]+,4,?[0-9]*\]')  # gspmd
+    assert sp_marker.search(low_on.as_text()), (
+        "seq_parallel lowered without the frames-axis tp constraint: "
+        "_sp_constrain silently degraded to a no-op")
+    assert not sp_marker.search(low_off.as_text())
+    # (b) the compiled collective signature changes, and the constrained
+    # program still has inter-device communication at all
+    on_counts = collective_counts(low_on.compile().as_text())
+    off_counts = collective_counts(low_off.compile().as_text())
+    assert sum(on_counts.values()) > 0
+    assert on_counts != off_counts, (
+        f"sp on/off compiled to identical collective signatures "
+        f"{on_counts} — the SP constraint had no effect")
+
+
 def test_tp_sharded_forward_matches_replicated():
     """The TP-sharded XLSR forward must be numerically identical to the
     single-device run (GSPMD inserts the collectives)."""
@@ -144,7 +207,7 @@ def test_tp_sharded_forward_matches_replicated():
     params_sharded = jax.tree_util.tree_map(jax.device_put, params, sh)
     wave_sharded = jax.device_put(wave, batch_sharding(mesh))
 
-    with mesh:
+    with compute_mesh(mesh):
         out = jax.jit(
             lambda p, x: model.apply({"params": p}, x)
         )(params_sharded, wave_sharded)
@@ -190,7 +253,7 @@ def test_dp_sharded_train_step_matches_single_device():
         lambda p: jax.device_put(p, replicated(mesh)), state_dp.params
     )
     state_dp = state_dp.replace(params=params_repl)
-    with mesh:
+    with compute_mesh(mesh):
         batch = shard_batch((x, labels), mesh)
         state_dp, m_dp = step(state_dp, batch, jax.random.PRNGKey(7))
 
@@ -279,7 +342,7 @@ def test_tp_train_step_shards_opt_state_and_matches_single_device():
     # moments placed like the params before the step...
     mu_fc1 = state_tp.opt_state[0].mu["ssl"]["layers"]["layer"]["fc1"]
     assert mu_fc1["kernel"].sharding.spec == P(None, None, "tp")
-    with mesh:
+    with compute_mesh(mesh):
         batch = shard_batch((x, labels), mesh)
         state_tp, m_tp = step(state_tp, batch, jax.random.PRNGKey(7))
     # ...and still sharded like the params after it
@@ -339,7 +402,7 @@ def test_fsdp_train_step_matches_single_device():
     import optax
 
     from occm_tpu.config import RawBoostConfig, TrainConfig
-    from occm_tpu.parallel import place_state_on_mesh, train_state_shardings
+    from occm_tpu.parallel import compute_mesh, place_state_on_mesh, train_state_shardings
     from occm_tpu.train.loop import make_train_step
     from occm_tpu.train.state import create_train_state
 
@@ -385,7 +448,7 @@ def test_fsdp_train_step_matches_single_device():
     mu_fc1 = state_fs.opt_state[0].mu["ssl"]["layers"]["layer"]["fc1"]
     assert mu_fc1["kernel"].sharding.spec == P(None, "fsdp", "tp")
 
-    with mesh:
+    with compute_mesh(mesh):
         batch = shard_batch((x, labels), mesh)
         assert batch[0].sharding.spec == P(("dp", "fsdp"))
         state_fs, m_fs = step(state_fs, batch, jax.random.PRNGKey(7))
@@ -467,7 +530,7 @@ def test_fsdp_chunked_dispatch_matches_single_device():
         state_shardings=train_state_shardings(state_fs, mesh),
     )
     state_fs = place_state_on_mesh(state_fs, mesh)
-    with mesh:
+    with compute_mesh(mesh):
         chunk = make_global_batch((xs, labels), mesh, data_spec(mesh, 1))
         assert chunk[0].sharding.spec == P(None, ("dp", "fsdp"))
         state_fs, m_fs = multi(state_fs, chunk, jax.random.PRNGKey(7))

@@ -267,6 +267,35 @@ def test_packed8_attention_parity():
                   "dropout": jax.random.PRNGKey(0)}, x)
 
 
+def test_impl_knobs_validated_at_config():
+    """Impl knobs are validated at construction (r4 verdict weak #5:
+    attention_impl="skip" — V passed through untouched — was accepted by
+    every entry point, enforced only by a comment; typos fell through to
+    the plain xla path silently)."""
+    import dataclasses
+
+    import pytest
+
+    from occm_tpu.config import XLSRConfig
+
+    with pytest.raises(ValueError, match="allow_debug_impls"):
+        dataclasses.replace(XLSRConfig.tiny(), attention_impl="skip")
+    # the A/B escape hatch still works
+    cfg = dataclasses.replace(XLSRConfig.tiny(), attention_impl="skip",
+                              allow_debug_impls=True)
+    assert cfg.attention_impl == "skip"
+    with pytest.raises(ValueError, match="unknown attention_impl"):
+        dataclasses.replace(XLSRConfig.tiny(), attention_impl="falsh")
+    with pytest.raises(ValueError, match="unknown attention_impl"):
+        dataclasses.replace(XLSRConfig.tiny(), attention_impl="packedX")
+    with pytest.raises(ValueError, match="unknown ffn_impl"):
+        dataclasses.replace(XLSRConfig.tiny(), ffn_impl="fused")
+    with pytest.raises(ValueError, match="unknown remat_policy"):
+        dataclasses.replace(XLSRConfig.tiny(), remat_policy="everything")
+    with pytest.raises(ValueError, match="unknown dtype"):
+        dataclasses.replace(XLSRConfig.tiny(), dtype="float16")
+
+
 def test_pos_conv_impls_identical():
     """pos_conv_impl in {grouped, batched, s2d} is a layout-only change:
     same checkpoint tree, same forward and gradients (ops/pos_conv.py)."""
