@@ -197,6 +197,129 @@ void repeat_pad(const float* x, int64_t n, float* out, int64_t max_len) {
   }
 }
 
+// Header-only length probe: sample count + rate without decoding.
+// WAV: walk the RIFF chunk list with fseek (no data read); FLAC: parse
+// STREAMINFO (total inter-channel samples == the mono-averaged output
+// length the decoders emit). Returns non-zero when the length cannot be
+// known from headers (e.g. FLAC with total_samples=0) — callers fall back
+// to a full decode for that file.
+int probe_audio_len(const char* path, int64_t* n, int* sr) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  uint8_t hdr[42];
+  if (fread(hdr, 1, 12, f) != 12) {
+    fclose(f);
+    return 2;
+  }
+  if (memcmp(hdr, "fLaC", 4) == 0) {
+    // hdr[4..7] is the first metadata block header; STREAMINFO must be
+    // first (spec). Read the remaining 30 of its 34 bytes (8 already in
+    // hdr[8..11]).
+    if ((hdr[4] & 0x7F) != 0) {
+      fclose(f);
+      return 3;  // first block not STREAMINFO
+    }
+    uint8_t si[34];
+    memcpy(si, hdr + 8, 4);
+    if (fread(si + 4, 1, 30, f) != 30) {
+      fclose(f);
+      return 2;
+    }
+    fclose(f);
+    uint32_t rate = ((uint32_t)si[10] << 12) | ((uint32_t)si[11] << 4) |
+                    ((uint32_t)si[12] >> 4);
+    uint64_t total = ((uint64_t)(si[13] & 0x0F) << 32) |
+                     ((uint64_t)si[14] << 24) | ((uint64_t)si[15] << 16) |
+                     ((uint64_t)si[16] << 8) | (uint64_t)si[17];
+    if (rate == 0 || total == 0) return 4;  // unknown: decode to find out
+    *n = (int64_t)total;
+    *sr = (int)rate;
+    return 0;
+  }
+  if (memcmp(hdr, "RIFF", 4) != 0 || memcmp(hdr + 8, "WAVE", 4) != 0) {
+    fclose(f);
+    return 3;
+  }
+  uint16_t channels = 0, bits = 0;
+  uint32_t rate = 0;
+  uint64_t data_len = 0;
+  long data_off = 0;
+  bool have_fmt = false, have_data = false;
+  for (;;) {
+    uint8_t ch[8];
+    if (fread(ch, 1, 8, f) != 8) break;
+    uint32_t size = rd_u32(ch + 4);
+    if (memcmp(ch, "fmt ", 4) == 0 && size >= 16) {
+      uint8_t fmt[16];
+      if (fread(fmt, 1, 16, f) != 16) break;
+      channels = rd_u16(fmt + 2);
+      rate = rd_u32(fmt + 4);
+      bits = rd_u16(fmt + 14);
+      have_fmt = true;
+      if (fseek(f, (long)(size - 16 + (size & 1)), SEEK_CUR) != 0) break;
+    } else if (memcmp(ch, "data", 4) == 0) {
+      data_len = size;
+      data_off = ftell(f);
+      have_data = true;
+      if (have_fmt) break;  // done — no need to walk further
+      if (fseek(f, (long)(size + (size & 1)), SEEK_CUR) != 0) break;
+    } else {
+      if (fseek(f, (long)(size + (size & 1)), SEEK_CUR) != 0) break;
+    }
+  }
+  if (have_data) {
+    // clamp a data chunk that claims to extend past EOF — decode_wav
+    // clamps the same way, and the probe must agree with the decoder
+    fseek(f, 0, SEEK_END);
+    long fsize = ftell(f);
+    if (data_off >= 0 && fsize >= data_off &&
+        data_len > (uint64_t)(fsize - data_off))
+      data_len = (uint64_t)(fsize - data_off);
+  }
+  fclose(f);
+  if (!have_fmt || !have_data || channels == 0 || rate == 0 || bits == 0)
+    return 4;
+  uint64_t frame_bytes = (uint64_t)channels * (bits / 8);
+  if (frame_bytes == 0) return 4;
+  *n = (int64_t)(data_len / frame_bytes);
+  *sr = (int)rate;
+  return 0;
+}
+
+struct LenJob {
+  const char** paths;
+  int64_t* lens;  // -1 on per-file failure
+  int* srs;
+  int count;
+  int next;
+  int failures;
+  pthread_mutex_t mu;
+};
+
+void* len_worker(void* arg) {
+  LenJob* job = (LenJob*)arg;
+  for (;;) {
+    pthread_mutex_lock(&job->mu);
+    int i = job->next++;
+    pthread_mutex_unlock(&job->mu);
+    if (i >= job->count) break;
+    int64_t n = 0;
+    int sr = 0;
+    int rc = probe_audio_len(job->paths[i], &n, &sr);
+    if (rc == 0) {
+      job->lens[i] = n;
+      job->srs[i] = sr;
+    } else {
+      job->lens[i] = -1;
+      job->srs[i] = 0;
+      pthread_mutex_lock(&job->mu);
+      job->failures++;
+      pthread_mutex_unlock(&job->mu);
+    }
+  }
+  return nullptr;
+}
+
 struct BatchJob {
   const char** paths;
   float* out;
@@ -287,6 +410,35 @@ int ocm_read_batch_padded(const char** paths, int count, float* out,
   for (int i = 0; i < count; i++)
     if (rcs[(size_t)i]) return rcs[(size_t)i];
   return 0;
+}
+
+// Header-only length probe for one file. Returns non-zero when the
+// length is not knowable from headers (caller decodes instead).
+int ocm_audio_len(const char* path, int64_t* n, int* sr) {
+  return probe_audio_len(path, n, sr);
+}
+
+// Threaded header probe over a path list: lens[i]=-1 (srs[i]=0) per file
+// whose length could not be probed; returns the failure count (callers
+// decode just those files). Never fails the whole batch.
+int ocm_audio_len_batch(const char** paths, int count, int64_t* lens,
+                        int* srs, int n_threads) {
+  if (count <= 0) return 0;
+  LenJob job;
+  job.paths = paths;
+  job.lens = lens;
+  job.srs = srs;
+  job.count = count;
+  job.next = 0;
+  job.failures = 0;
+  pthread_mutex_init(&job.mu, nullptr);
+  int nt = n_threads < 1 ? 1 : (n_threads > count ? count : n_threads);
+  std::vector<pthread_t> threads((size_t)nt);
+  for (int t = 0; t < nt; t++)
+    pthread_create(&threads[(size_t)t], nullptr, len_worker, &job);
+  for (int t = 0; t < nt; t++) pthread_join(threads[(size_t)t], nullptr);
+  pthread_mutex_destroy(&job.mu);
+  return job.failures;
 }
 
 // Decode samples [start, start+max_count) of a WAV/FLAC file (WAV seeks

@@ -99,45 +99,116 @@ class BucketedEmbedder:
         b = max(b, self.bucket_step)
         return b if self.max_len is None else min(b, self.max_len)
 
+    def _run_batches(self, batch_iter, n: int,
+                     progress: Optional[Callable[[int], None]],
+                     prefetch_depth: int = 2
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Device loop over (chunk_indices, batch [B, blen]) items: host
+        batch assembly (decode/pad/stack) runs in a background thread via
+        Prefetcher so it overlaps the device compute of the previous
+        batch."""
+        from occm_tpu.data.pipeline import Prefetcher
+
+        embs: List[Optional[np.ndarray]] = [None] * n
+        logits_all: List[Optional[np.ndarray]] = [None] * n
+        done = 0
+        for chunk, batch in Prefetcher(batch_iter, depth=prefetch_depth):
+            # numpy in: jit places it per in_shardings (sharded over
+            # the dp mesh when one is configured)
+            emb, logits = self._embed(batch)
+            emb = np.asarray(emb)
+            logits = np.asarray(logits)
+            for j, i in enumerate(chunk):
+                embs[i] = emb[j]
+                logits_all[i] = logits[j]
+            done += len(chunk)
+            if progress:
+                progress(done)
+        return np.stack(embs), np.stack(logits_all)  # type: ignore[arg-type]
+
+    def _pad_batch_rows(self, batch: np.ndarray) -> np.ndarray:
+        """Pad the batch dim to the full batch size to keep one compiled
+        program per bucket."""
+        pad_rows = self.batch_size - batch.shape[0]
+        if pad_rows:
+            batch = np.concatenate(
+                [batch, np.zeros((pad_rows, batch.shape[1]), np.float32)]
+            )
+        return batch
+
     def embed_all(self, waves: Iterable[np.ndarray],
                   progress: Optional[Callable[[int], None]] = None
                   ) -> Tuple[np.ndarray, np.ndarray]:
         """Embed every waveform, preserving input order.
         Returns (embeddings [N, D], logits [N, C])."""
         waves = list(waves)
-        embs: List[Optional[np.ndarray]] = [None] * len(waves)
-        logits_all: List[Optional[np.ndarray]] = [None] * len(waves)
-
         by_bucket = {}
         for i, w in enumerate(waves):
             by_bucket.setdefault(self._bucket_len(len(w)), []).append(i)
 
-        done = 0
-        for blen, idxs in sorted(by_bucket.items()):
-            for start in range(0, len(idxs), self.batch_size):
-                chunk = idxs[start: start + self.batch_size]
-                batch = np.stack(
-                    [pad_numpy(waves[i], blen) for i in chunk]
-                ).astype(np.float32)
-                # pad the batch dim to the full batch size to keep one
-                # compiled program per bucket
-                pad_rows = self.batch_size - len(chunk)
-                if pad_rows:
-                    batch = np.concatenate(
-                        [batch, np.zeros((pad_rows, blen), np.float32)]
+        def batches():
+            for blen, idxs in sorted(by_bucket.items()):
+                for start in range(0, len(idxs), self.batch_size):
+                    chunk = idxs[start: start + self.batch_size]
+                    batch = np.stack(
+                        [pad_numpy(waves[i], blen) for i in chunk]
+                    ).astype(np.float32)
+                    yield chunk, self._pad_batch_rows(batch)
+
+        return self._run_batches(batches(), len(waves), progress)
+
+    def embed_paths(self, paths: List[str],
+                    progress: Optional[Callable[[int], None]] = None,
+                    decode_threads: int = 8
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Scoring fast lane (r4 verdict item 2): embed files by path with
+        the C++ threaded batch decoder feeding the device.
+
+        Where :meth:`embed_all` receives one Python-decoded waveform per
+        `dataset[i]` call (the reference's per-utterance librosa loop,
+        oc_classifier.py:180-196, is the same anti-pattern), this lane
+        (1) probes every file's true length from its WAV/FLAC headers in
+        one threaded native call — no decode, (2) buckets by that length,
+        (3) decodes each bucket batch with ONE threaded C++ call whose
+        repeat-pad lands directly in the batch buffer, and (4) prefetches
+        the next batch's decode under the device compute of the current
+        one. Scores are byte-identical to the embed_all path
+        (tests/test_scoring_native.py): the native decoder and repeat-pad
+        are bit-exact vs the Python reader, and bucket assignment uses
+        the same true lengths.
+
+        Falls back to Python decode per file when the native library is
+        unavailable (same results, host-bound)."""
+        from occm_tpu.io import native
+
+        if not native.available():
+            from occm_tpu.io.wav import load_audio
+
+            return self.embed_all(
+                (load_audio(p, sr=None)[0] for p in paths), progress)
+
+        lens, _ = native.native_audio_len_batch(paths, decode_threads)
+        for i in np.nonzero(lens < 0)[0]:
+            # length not probeable from headers (e.g. FLAC with
+            # total_samples=0): decode to measure — rare, loud on error
+            wave, _ = native.native_read_wav(paths[int(i)])
+            lens[int(i)] = len(wave)
+
+        by_bucket = {}
+        for i, n in enumerate(lens):
+            by_bucket.setdefault(self._bucket_len(int(n)), []).append(i)
+
+        def batches():
+            for blen, idxs in sorted(by_bucket.items()):
+                for start in range(0, len(idxs), self.batch_size):
+                    chunk = idxs[start: start + self.batch_size]
+                    batch, _, _ = native.native_read_batch_padded(
+                        [paths[i] for i in chunk], blen,
+                        n_threads=decode_threads,
                     )
-                # numpy in: jit places it per in_shardings (sharded over
-                # the dp mesh when one is configured)
-                emb, logits = self._embed(batch)
-                emb = np.asarray(emb)
-                logits = np.asarray(logits)
-                for j, i in enumerate(chunk):
-                    embs[i] = emb[j]
-                    logits_all[i] = logits[j]
-                done += len(chunk)
-                if progress:
-                    progress(done)
-        return np.stack(embs), np.stack(logits_all)  # type: ignore[arg-type]
+                    yield chunk, self._pad_batch_rows(batch)
+
+        return self._run_batches(batches(), len(paths), progress)
 
 
 class OneClassScorer:
@@ -146,6 +217,19 @@ class OneClassScorer:
     def __init__(self, embedder: BucketedEmbedder, cache_dir: str = "."):
         self.embedder = embedder
         self.cache_dir = cache_dir
+
+    def _embed_dataset(self, dataset, progress):
+        """Embed a dataset, taking the threaded-native-decode fast lane
+        when the dataset exposes plain file paths (ASVDataset with the
+        stock loader) — otherwise the per-item decode loop. Identical
+        results either way (tests/test_scoring_native.py)."""
+        paths = None
+        if hasattr(dataset, "file_paths"):
+            paths = dataset.file_paths()
+        if paths is not None:
+            return self.embedder.embed_paths(paths, progress=progress)
+        waves = (dataset[i][0] for i in range(len(dataset)))
+        return self.embedder.embed_all(waves, progress=progress)
 
     # ---- phase 1 ----
     def create_reference_embedding(
@@ -159,9 +243,8 @@ class OneClassScorer:
         if os.path.exists(ref_path) and os.path.exists(thr_path):
             return np.load(ref_path), float(np.load(thr_path))
 
-        waves = (dataset[i][0] for i in range(len(dataset)))
-        embs, _ = self.embedder.embed_all(
-            waves,
+        embs, _ = self._embed_dataset(
+            dataset,
             progress=(lambda n: print(f"embedded {n} ...")) if verbose else None,
         )
         reference = embs.mean(axis=0)
@@ -186,9 +269,8 @@ class OneClassScorer:
     ) -> None:
         """One-class scoring: distance + thresholded prediction per line
         (reference: oc_classifier.py:243-265)."""
-        waves = (dataset[i][0] for i in range(len(dataset)))
-        embs, _ = self.embedder.embed_all(
-            waves,
+        embs, _ = self._embed_dataset(
+            dataset,
             progress=(lambda n: print(f"Processing file counts: {n} ..."))
             if verbose else None,
         )
@@ -205,9 +287,8 @@ class OneClassScorer:
     ) -> None:
         """Two-class scoring: bare bonafide logit per line
         (reference: oc_classifier.py:293-312 writes out[0][0])."""
-        waves = (dataset[i][0] for i in range(len(dataset)))
-        _, logits = self.embedder.embed_all(
-            waves,
+        _, logits = self._embed_dataset(
+            dataset,
             progress=(lambda n: print(f"Processing file counts: {n} ..."))
             if verbose else None,
         )

@@ -145,16 +145,14 @@ def main(argv=None) -> None:
         labels = np.asarray(
             [0 if s == "bonafide" else 1 for s in label_strs], np.int32)
 
-    from occm_tpu.data.datasets import _default_loader, _resolve
+    from occm_tpu.data.datasets import _resolve
 
-    def waves():
-        for u in utts:
-            w, _ = _default_loader(
-                _resolve(args.dataset_dir, u, exts=(".flac", ".wav")))
-            yield w.astype(np.float32)
-
-    embs, logits = embedder.embed_all(
-        waves(),
+    # threaded native batch decode + prefetch feeds the device
+    # (embed_paths falls back to Python decode when libocmio is unbuilt)
+    paths = [_resolve(args.dataset_dir, u, exts=(".flac", ".wav"))
+             for u in utts]
+    embs, logits = embedder.embed_paths(
+        paths,
         progress=(lambda n: print(f"embedded {n} ..."))
         if args.verbose else None,
     )

@@ -209,6 +209,19 @@ class ASVDataset:
     def __len__(self) -> int:
         return len(self.file_list)
 
+    def file_paths(self) -> Optional[List[str]]:
+        """Resolved audio paths in dataset order — the scoring fast lane
+        (BucketedEmbedder.embed_paths: threaded native batch decode +
+        prefetch) consumes paths instead of per-item Python decodes.
+        None when a custom loader is installed (its decode semantics
+        would be bypassed)."""
+        if self.loader is not _default_loader:
+            return None
+        return [
+            _resolve(self.dataset_dir, name, exts=(".flac", ".wav"))
+            for name in self.file_list
+        ]
+
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
         path = _resolve(self.dataset_dir, self.file_list[idx],
                         exts=(".flac", ".wav"))

@@ -100,6 +100,22 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int),
     ]
+    # r5 additions: header-only length probes (the scoring fast lane
+    # buckets by true length without decoding)
+    lib.ocm_audio_len.restype = ctypes.c_int
+    lib.ocm_audio_len.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.ocm_audio_len_batch.restype = ctypes.c_int
+    lib.ocm_audio_len_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
 
@@ -151,6 +167,45 @@ def native_read_batch_padded(
     if rc != 0:
         raise IOError(f"ocm_read_batch_padded failed rc={rc}")
     return out, valid, srs
+
+
+def native_audio_len(path: str) -> Tuple[int, int]:
+    """Header-only (sample count, sample rate) of a WAV/FLAC file — no
+    decode. Raises when the headers do not carry the length (e.g. FLAC
+    with STREAMINFO total_samples=0); callers decode instead."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library not built (make -C native)")
+    n = ctypes.c_int64()
+    sr = ctypes.c_int()
+    rc = lib.ocm_audio_len(path.encode(), ctypes.byref(n), ctypes.byref(sr))
+    if rc != 0:
+        raise IOError(f"ocm_audio_len({path}) failed rc={rc}")
+    return n.value, sr.value
+
+
+def native_audio_len_batch(
+    paths: List[str], n_threads: int = 8
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Threaded header-only length probe -> (lens [B] int64, srs [B]
+    int32). lens[i] == -1 marks a file whose length could not be probed
+    (the caller decodes those); a missing file surfaces the same way."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library not built (make -C native)")
+    count = len(paths)
+    lens = np.empty((count,), np.int64)
+    srs = np.empty((count,), np.int32)
+    if count == 0:
+        return lens, srs
+    c_paths = (ctypes.c_char_p * count)(*[p.encode() for p in paths])
+    lib.ocm_audio_len_batch(
+        c_paths, count,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n_threads,
+    )
+    return lens, srs
 
 
 def set_flac_crc_verify(enable: bool) -> None:

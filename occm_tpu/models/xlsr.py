@@ -277,9 +277,20 @@ class SelfAttention(nn.Module):
         k = checkpoint_name(k, "attn_k")
         v = checkpoint_name(v, "attn_v")
 
+        # fairseq applies dropout to the softmax'd attention probabilities
+        # (attention_dropout; live during reference training — the SSL
+        # frontend runs in train mode, reference models/sslassist.py:24-48)
+        pdrop = lambda p: nn.Dropout(
+            cfg.attention_dropout, deterministic=not train)(p)
+
         if cfg.attention_impl == "flash":
             from occm_tpu.ops.attention import flash_attention
 
+            if train and cfg.attention_dropout > 0.0:
+                raise ValueError(
+                    'attention_impl="flash" cannot apply attention_dropout '
+                    "(the probabilities never materialise); train with an "
+                    "xla-family impl or zero the rate")
             out = flash_attention(q, k, v).astype(dt)
         elif cfg.attention_impl == "skip":
             # NOT a real attention: passes V through untouched. Exists only
@@ -319,9 +330,9 @@ class SelfAttention(nn.Module):
                 "bpqd,bpkd->bpqk", qp, kc,
                 preferred_element_type=_norm_dtype(cfg),
             )
-            probs = checkpoint_name(
+            probs = pdrop(checkpoint_name(
                 jax.nn.softmax(logits, axis=-1), "attn_probs"
-            ).astype(dt)
+            ).astype(dt))
             pc = probs.reshape(B, P, g, T, T).transpose(0, 1, 3, 2, 4)
             pc = pc.reshape(B, P, T, g * T)
             vp = (vh[:, :, :, :, None, :] * eye).reshape(
@@ -352,9 +363,9 @@ class SelfAttention(nn.Module):
                 keymask[None, None, None, :], logits,
                 jnp.asarray(-1e30, logits.dtype),
             )
-            probs = checkpoint_name(
+            probs = pdrop(checkpoint_name(
                 jax.nn.softmax(logits, axis=-1), "attn_probs"
-            ).astype(dt)
+            ).astype(dt))
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, vp)[:, :T]
         elif cfg.attention_impl == "xla_merged":
             # same math as "xla" but with (B, H) flattened into ONE batch
@@ -369,9 +380,9 @@ class SelfAttention(nn.Module):
                 "zqd,zkd->zqk", q, km,
                 preferred_element_type=_norm_dtype(cfg),
             )
-            probs = checkpoint_name(
+            probs = pdrop(checkpoint_name(
                 jax.nn.softmax(logits, axis=-1), "attn_probs"
-            ).astype(dt)
+            ).astype(dt))
             out = jnp.einsum("zqk,zkd->zqd", probs, vm)
             out = out.reshape(B, h, T, hd).transpose(0, 2, 1, 3)
         else:
@@ -384,9 +395,9 @@ class SelfAttention(nn.Module):
             # consume the saved value directly: with "attn_probs" saved the
             # backward needs neither the QK^T dot nor the softmax re-run
             # (d_logits = p*(dp - sum(dp*p)) needs only p, do, q, k, v)
-            probs = checkpoint_name(
+            probs = pdrop(checkpoint_name(
                 jax.nn.softmax(logits, axis=-1), "attn_probs"
-            ).astype(dt)
+            ).astype(dt))
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(B, T, d)
         # named so remat_policy="attn_out_inner" can save the pre-out_proj
@@ -447,6 +458,16 @@ class TransformerLayer(nn.Module):
 
         residual = x
         h = ln("final_layer_norm")(x) if cfg.layer_norm_first else x
+        # fairseq's post-activation dropout (activation_dropout, fairseq
+        # dropout2) sits between the GELU and fc2
+        adrop = lambda: nn.Dropout(cfg.activation_dropout,
+                                   deterministic=not train)
+        if train and cfg.activation_dropout > 0.0 and (
+                cfg.quant_int8 or cfg.ffn_impl == "pallas"):
+            raise ValueError(
+                "activation_dropout needs the hidden FFN activation "
+                'materialised: train with ffn_impl="xla" and without '
+                "quant_int8, or zero the rate")
         if cfg.quant_int8:
             h = Int8Dense(cfg.encoder_embed_dim, cfg.encoder_ffn_dim,
                           name="fc1")(h)
@@ -469,6 +490,7 @@ class TransformerLayer(nn.Module):
         else:
             h = nn.Dense(cfg.encoder_ffn_dim, dtype=dt, name="fc1")(h)
             h = jax.nn.gelu(h, approximate=cfg.gelu_approximate)
+            h = adrop()(h)
             h = nn.Dense(cfg.encoder_embed_dim, dtype=dt, name="fc2")(h)
         if cfg.seq_parallel:
             h = _sp_constrain(h)
@@ -515,6 +537,10 @@ class XLSREncoder(nn.Module):
             feats = nn.Dense(
                 cfg.encoder_embed_dim, dtype=dt, name="post_extract_proj"
             )(feats)
+        # fairseq dropout_input: on the projected features entering the
+        # encoder (wav2vec2.forward applies it before self.encoder)
+        feats = nn.Dropout(cfg.dropout_input,
+                           deterministic=not train)(feats)
 
         # relative positional conv embedding (SamePad: even kernel drops the
         # trailing element), grouped conv + GELU. pos_conv_impl picks the
@@ -529,6 +555,10 @@ class XLSREncoder(nn.Module):
                              name="encoder_layer_norm")(
                 x.astype(jnp.float32)
             ).astype(dt)
+        # fairseq TransformerEncoder input dropout (rate `dropout`),
+        # after pos-conv add (+ the post-norm LN when layer_norm_first
+        # is False)
+        x = nn.Dropout(cfg.dropout, deterministic=not train)(x)
 
         # scan + remat over the transformer stack: stacked [L, ...] params,
         # one compiled block, recompute activations on the backward pass

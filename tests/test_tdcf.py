@@ -223,3 +223,99 @@ def test_cli_prints_tdcf(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "EER = " in out
     assert "min t-DCF (v2) = " in out
+
+
+# ---------------------------------------------------------------------------
+# External golden vectors (r4 verdict item 8): min t-DCF values derived BY
+# HAND on toy trial sets — coefficient formulas and operating-point
+# enumeration worked on paper below, never through compute_det_curve — so
+# this implementation and the counting oracle (which shares no code with
+# the DET sweep but does share this repo) cannot both be wrong together.
+#
+# Shared cost model: the official ASVspoof2019-LA values
+#   p_tar=0.9405  p_non=0.0095  p_spoof=0.05  c_miss=1  c_fa=10  c_fa_spoof=10
+#
+# ASV point P: p_miss_asv=0.05, p_fa_asv=0.02, p_miss_spoof_asv=0.40
+#   C1 = 0.9405*(1-0.05) - 0.0095*10*0.02 = 0.893475 - 0.0019 = 0.891575
+#   C0 = 0.9405*0.05 + 0.0095*10*0.02     = 0.047025 + 0.0019 = 0.048925
+#   (note C1_v2 = p_tar*c_miss - C0 = 0.9405 - 0.048925 = 0.891575 = C1_v1,
+#    the published algebraic identity between the two revisions)
+#   C2 = 10*0.05*(1-0.40) = 0.3
+#
+# ASV point Q: p_miss_asv=0.10, p_fa_asv=0.05, p_miss_spoof_asv=0.25
+#   C0 = 0.9405*0.10 + 0.0095*10*0.05 = 0.09405 + 0.00475 = 0.0988
+#   C1 = 0.9405 - 0.0988 = 0.8417
+#   C2 = 10*0.05*(1-0.25) = 0.375
+#
+# CM operating points are enumerated by hand (accept-as-bonafide when
+# score >= threshold; Pmiss = frac bonafide below, Pfa = frac spoof at or
+# above). Each case's sweep is written out in its comment.
+
+_ASV_P = AsvErrorRates(0.05, 0.02, 0.40)
+_ASV_Q = AsvErrorRates(0.10, 0.05, 0.25)
+
+
+def test_golden_mid_operating_point_v1_v2():
+    # bona [2,4], spoof [1,3] -> sweep: (Pmiss,Pfa) in
+    #   (0,1)  0.3          | (0,1/2)  0.15         <- min
+    #   (1/2,1/2) 0.5957875 | (1/2,0)  0.4457875 | (1,0) 0.891575
+    # v1: 0.15 / min(0.891575, 0.3)            = 0.15/0.3 = 0.5 exactly
+    # v2: (0.15+0.048925) / (0.048925+0.3)     = 0.198925/0.348925
+    bona, spoof = [2.0, 4.0], [1.0, 3.0]
+    v1, _ = compute_min_tdcf(bona, spoof, _ASV_P, version="v1")
+    v2, _ = compute_min_tdcf(bona, spoof, _ASV_P, version="v2")
+    assert v1 == pytest.approx(0.5, abs=1e-12)
+    assert v2 == pytest.approx(0.198925 / 0.348925, abs=1e-12)
+
+
+def test_golden_perfect_cm_v1_zero_v2_c0_floor():
+    # bona [5,6], spoof [1,2]: a threshold in (2,5] gives (0,0)
+    # v1: 0 / 0.3 = 0
+    # v2: C0 / (C0 + min(C1,C2)) = 0.048925/0.348925
+    bona, spoof = [5.0, 6.0], [1.0, 2.0]
+    v1, _ = compute_min_tdcf(bona, spoof, _ASV_P, version="v1")
+    v2, _ = compute_min_tdcf(bona, spoof, _ASV_P, version="v2")
+    assert v1 == pytest.approx(0.0, abs=1e-12)
+    assert v2 == pytest.approx(0.048925 / 0.348925, abs=1e-12)
+
+
+def test_golden_useless_cm_is_exactly_one_both_versions():
+    # bona [1,2], spoof [3,4] (CM anti-correlated): best sweep point is
+    # accept-everything (0,1) with unnormalized cost C2 = min(C1,C2), so
+    # both normalizations hit the do-nothing floor exactly:
+    # v1: 0.3/0.3 = 1,  v2: (0.048925+0.3)/(0.048925+0.3) = 1
+    bona, spoof = [1.0, 2.0], [3.0, 4.0]
+    v1, _ = compute_min_tdcf(bona, spoof, _ASV_P, version="v1")
+    v2, _ = compute_min_tdcf(bona, spoof, _ASV_P, version="v2")
+    assert v1 == pytest.approx(1.0, abs=1e-12)
+    assert v2 == pytest.approx(1.0, abs=1e-12)
+
+
+def test_golden_three_trial_sweep_second_asv_point():
+    # ASV point Q, bona [1,3,5], spoof [0,2,4] -> sweep:
+    #   (0,1)    0.375    | (0,2/3)  0.25      <- min
+    #   (1/3,2/3) 0.8417/3+0.25 | (1/3,1/3) (0.8417+0.375)/3
+    #   (2/3,1/3) ...     | (2/3,0)  2*0.8417/3 | (1,0) 0.8417
+    # v1: 0.25 / min(0.8417, 0.375) = 0.25/0.375 = 2/3
+    # v2: (0.25+0.0988) / (0.0988+0.375) = 0.3488/0.4738
+    bona, spoof = [1.0, 3.0, 5.0], [0.0, 2.0, 4.0]
+    v1, _ = compute_min_tdcf(bona, spoof, _ASV_Q, version="v1")
+    v2, _ = compute_min_tdcf(bona, spoof, _ASV_Q, version="v2")
+    assert v1 == pytest.approx(2.0 / 3.0, abs=1e-12)
+    assert v2 == pytest.approx(0.3488 / 0.4738, abs=1e-12)
+
+
+def test_golden_c_fa_spoof_decoupled_from_c_fa():
+    # c_fa_spoof=20 (cost model otherwise official): C2 doubles to 0.6 at
+    # ASV point P while C0/C1 are untouched — catches an implementation
+    # that ties the spoof false-accept cost to c_fa.
+    # bona [2,4], spoof [3,3.5] -> sweep: (0,1) 0.6 | (1/2,1) 1.0457875 |
+    #   (1/2,1/2) 0.7457875 | (1/2,0) 0.4457875 <- min | (1,0) 0.891575
+    # v1: 0.4457875 / min(0.891575, 0.6) = 0.4457875/0.6
+    # v2: (0.4457875+0.048925) / (0.048925+0.6) = 0.4947125/0.648925
+    cost = TDCFCostModel(c_fa_spoof=20.0)
+    bona, spoof = [2.0, 4.0], [3.0, 3.5]
+    v1, _ = compute_min_tdcf(bona, spoof, _ASV_P, cost, version="v1")
+    v2, _ = compute_min_tdcf(bona, spoof, _ASV_P, cost, version="v2")
+    assert v1 == pytest.approx(0.4457875 / 0.6, abs=1e-12)
+    assert v2 == pytest.approx(0.4947125 / 0.648925, abs=1e-12)

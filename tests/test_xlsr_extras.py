@@ -322,3 +322,117 @@ def test_pos_conv_impls_identical():
         # association order; wrong MATH would show O(1) relative errors
         np.testing.assert_allclose(results["grouped"][1], results[impl][1],
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_dropout_sites_all_fire_and_are_distinct():
+    """fairseq wav2vec2 has five distinct dropout sites, all live during
+    reference training (models/sslassist.py:24-48 runs the SSL frontend in
+    train mode; r4 verdict missing #4): residual `dropout`, attention-probs
+    `attention_dropout`, post-GELU `activation_dropout`, encoder-input
+    `dropout_input`. For each site: (a) the rng actually fires under
+    nn.scan (same params, different dropout rngs -> different outputs),
+    (b) the sites are distinguishable (two different single-site configs
+    with the SAME rng differ from each other and from the no-dropout
+    run)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from occm_tpu.config import XLSRConfig
+    from occm_tpu.models import XLSREncoder
+
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(2, 3200)).astype(np.float32))
+    base = XLSRConfig.tiny()
+    enc0 = XLSREncoder(base)
+    variables = enc0.init({"params": jax.random.PRNGKey(0),
+                           "dropout": jax.random.PRNGKey(0)}, x)
+    clean = np.asarray(enc0.apply(variables, x, train=True,
+                                  rngs={"dropout": jax.random.PRNGKey(1)}))
+
+    outs = {}
+    for field in ("dropout", "attention_dropout", "activation_dropout",
+                  "dropout_input"):
+        cfg = dataclasses.replace(base, **{field: 0.5})
+        enc = XLSREncoder(cfg)
+        a = np.asarray(enc.apply(variables, x, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(1)}))
+        b = np.asarray(enc.apply(variables, x, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(2)}))
+        assert not np.allclose(a, b), f"{field}: rng does not fire"
+        assert not np.allclose(a, clean), f"{field}: site is a no-op"
+        # eval mode (train=False) must be deterministic and rate-free
+        e = np.asarray(enc.apply(variables, x))
+        np.testing.assert_allclose(
+            e, np.asarray(enc0.apply(variables, x)), atol=0,
+            err_msg=f"{field}: leaks into eval mode")
+        outs[field] = a
+    # distinguishable: same rng, different single-site configs differ
+    fields = list(outs)
+    for i in range(len(fields)):
+        for j in range(i + 1, len(fields)):
+            assert not np.allclose(outs[fields[i]], outs[fields[j]]), (
+                f"{fields[i]} and {fields[j]} apply at the same site")
+
+
+def test_dropout_incompatible_impls_raise():
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from occm_tpu.config import XLSRConfig
+    from occm_tpu.models import XLSREncoder
+
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(1, 3200)).astype(np.float32))
+    base = XLSRConfig.tiny()
+    variables = XLSREncoder(base).init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(0)}, x)
+
+    flash = XLSREncoder(dataclasses.replace(
+        base, attention_impl="flash", attention_dropout=0.1))
+    with pytest.raises(ValueError, match="flash"):
+        flash.apply(variables, x, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+
+    pallas_ffn = XLSREncoder(dataclasses.replace(
+        base, ffn_impl="pallas", activation_dropout=0.1))
+    with pytest.raises(ValueError, match="activation_dropout"):
+        pallas_ffn.apply(variables, x, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+
+
+def test_converter_reads_fairseq_dropout_rates():
+    """convert_xlsr reads the live dropout rates out of the fairseq
+    checkpoint wrapper (both the modern cfg.model and legacy args
+    layouts) so a reference-matching fine-tune can reproduce the
+    train-mode SSL regularization."""
+    import argparse
+
+    from occm_tpu.models.convert_xlsr import read_fairseq_dropout_rates
+
+    modern = {"cfg": {"model": {
+        "dropout": 0.1, "attention_dropout": 0.05,
+        "activation_dropout": 0.0, "dropout_input": 0.1,
+        "encoder_layerdrop": 0.05,
+    }}, "model": {}}
+    rates = read_fairseq_dropout_rates(modern)
+    assert rates == {"dropout": 0.1, "attention_dropout": 0.05,
+                     "activation_dropout": 0.0, "dropout_input": 0.1,
+                     "layerdrop": 0.05}
+
+    legacy = {"args": argparse.Namespace(
+        dropout=0.2, attention_dropout=0.1, activation_dropout=0.05,
+        dropout_input=0.0, encoder_layerdrop=0.0), "model": {}}
+    rates = read_fairseq_dropout_rates(legacy)
+    assert rates == {"dropout": 0.2, "attention_dropout": 0.1,
+                     "activation_dropout": 0.05, "dropout_input": 0.0,
+                     "layerdrop": 0.0}
+
+    assert read_fairseq_dropout_rates({"model": {}}) is None

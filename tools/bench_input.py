@@ -65,12 +65,84 @@ def measure(pipe: MetaBatchPipeline, epochs: int = 3) -> float:
     return n_utt / (time.perf_counter() - t0)
 
 
+def bench_scoring(n_files: int, record) -> None:
+    """Eval-side host pipeline (r4 verdict item 2): BucketedEmbedder's
+    embed_paths lane — threaded header probe + bucket + threaded batch
+    decode + prefetch — vs the per-item Python decode loop it replaced,
+    on VARIABLE-length files (the scoring workload shape,
+    reference: oc_classifier.py:93-94). embed_fn is a trivial reduction
+    so the measurement is host-side decode/assembly, not model compute."""
+    import jax
+
+    # host-side bench: never compile the toy embed_fn through a remote
+    # TPU tunnel (per-bucket compiles would dominate the measurement)
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from occm_tpu.classify import BucketedEmbedder
+    from occm_tpu.io import native
+    from occm_tpu.io.wav import load_audio
+
+    def embed_fn(x):
+        return x[:, :8], jnp.stack(
+            [jnp.sum(x, axis=1), jnp.max(x, axis=1)], axis=1)
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as root:
+        paths = []
+        for i in range(n_files):
+            # 1-8 s at 16 kHz: the ASVspoof eval length mix
+            n = int(rng.integers(SR, 8 * SR))
+            w = (0.1 * rng.normal(size=n)).astype(np.float32)
+            p = os.path.join(root, f"e{i:05d}.wav")
+            write_wav(p, w, SR)
+            paths.append(p)
+
+        emb = BucketedEmbedder(embed_fn, bucket_step=16000, batch_size=32)
+        # warm (page cache + jit per bucket), then time
+        emb.embed_paths(paths)
+        t0 = time.perf_counter()
+        emb.embed_paths(paths)
+        fast = n_files / (time.perf_counter() - t0)
+        record("scoring_host_native", fast)
+
+        emb.embed_all([load_audio(p, sr=None)[0] for p in paths])
+        t0 = time.perf_counter()
+        emb.embed_all((load_audio(p, sr=None)[0] for p in paths))
+        slow = n_files / (time.perf_counter() - t0)
+        record("scoring_host_python", slow)
+        print(f"speedup: {fast / slow:.1f}x"
+              + ("" if native.available() else "  (native UNBUILT)"))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=48,
                     help="bonafide count (each adds 5 vocoded + shares spoof)")
     ap.add_argument("--groups", type=int, default=8)
+    ap.add_argument("--scoring", action="store_true",
+                    help="bench the eval-side embed_paths host lane "
+                    "instead of the training MetaBatchPipeline")
+    ap.add_argument("--metrics_jsonl", default=None,
+                    help="append input_bench events to this file")
     args = ap.parse_args()
+
+    records = []
+
+    def record(name, utt):
+        print(f"RESULT {name}: {utt:.0f} utt/s", flush=True)
+        records.append({"event": "input_bench", "config": name,
+                        "utt_per_s": round(utt, 1), "time": time.time()})
+
+    if args.scoring:
+        bench_scoring(max(args.files, 256), record)
+        if args.metrics_jsonl:
+            import json
+
+            with open(args.metrics_jsonl, "a") as f:
+                for r in records:
+                    f.write(json.dumps(r) + "\n")
+        return
 
     with tempfile.TemporaryDirectory() as root:
         proto = build_tree(root, args.files, max(4, args.files // 8))
