@@ -64,9 +64,11 @@ class BucketedEmbedder:
     repeat-padded (reference pad semantics) up to the bucket boundary.
     """
 
-    def __init__(self, embed_fn: Callable, bucket_step: int = 16000,
+    def __init__(self, embed_fn: Optional[Callable] = None,
+                 bucket_step: int = 16000,
                  max_len: Optional[int] = None, batch_size: int = 8,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None,
+                 embed_fn_factory: Optional[Callable[[int], Callable]] = None):
         """max_len=None (default) never truncates: every utterance gets a
         bucket at least its own length, exactly like the reference's
         full-length batch=1 scoring (reference: oc_classifier.py:93-94).
@@ -75,24 +77,46 @@ class BucketedEmbedder:
 
         mesh: optional 1-axis data-parallel mesh (make_dp_mesh()); the batch
         axis of every bucket program is sharded over it and batch_size is
-        rounded up to a multiple of the mesh size."""
+        rounded up to a multiple of the mesh size.
+
+        embed_fn_factory(bucket_samples) -> embed_fn: per-bucket embed
+        functions (mutually exclusive with embed_fn) — the plumbing behind
+        attention_impl="auto" (classify.impl_select): each length bucket
+        can run the attention layout that wins at its shape. jit re-traces
+        per shape either way, so per-bucket functions add no compiles."""
+        if (embed_fn is None) == (embed_fn_factory is None):
+            raise ValueError(
+                "pass exactly one of embed_fn / embed_fn_factory")
         self.mesh = mesh
-        if mesh is None:
-            self._embed = jax.jit(embed_fn)
-        else:
+        if mesh is not None:
             if len(mesh.axis_names) != 1:
                 raise ValueError(
                     f"scoring mesh must have exactly one axis, got "
                     f"{mesh.axis_names}")
-            (ax,) = mesh.axis_names
             n = mesh.devices.size
             batch_size = ((batch_size + n - 1) // n) * n
-            sh = NamedSharding(mesh, P(ax))
-            self._embed = jax.jit(
-                embed_fn, in_shardings=sh, out_shardings=sh)
+        self._factory = embed_fn_factory
+        self._embed = None if embed_fn is None else self._jit(embed_fn)
+        self._per_bucket: dict = {}
         self.bucket_step = bucket_step
         self.max_len = max_len
         self.batch_size = batch_size
+
+    def _jit(self, fn: Callable) -> Callable:
+        if self.mesh is None:
+            return jax.jit(fn)
+        (ax,) = self.mesh.axis_names
+        sh = NamedSharding(self.mesh, P(ax))
+        return jax.jit(fn, in_shardings=sh, out_shardings=sh)
+
+    def _embed_for(self, blen: int) -> Callable:
+        """The jitted embed fn for a bucket length (factory mode compiles
+        one per bucket, cached; plain mode shares the single fn)."""
+        if self._factory is None:
+            return self._embed
+        if blen not in self._per_bucket:
+            self._per_bucket[blen] = self._jit(self._factory(blen))
+        return self._per_bucket[blen]
 
     def _bucket_len(self, n: int) -> int:
         b = ((n + self.bucket_step - 1) // self.bucket_step) * self.bucket_step
@@ -115,7 +139,7 @@ class BucketedEmbedder:
         for chunk, batch in Prefetcher(batch_iter, depth=prefetch_depth):
             # numpy in: jit places it per in_shardings (sharded over
             # the dp mesh when one is configured)
-            emb, logits = self._embed(batch)
+            emb, logits = self._embed_for(batch.shape[1])(batch)
             emb = np.asarray(emb)
             logits = np.asarray(logits)
             for j, i in enumerate(chunk):

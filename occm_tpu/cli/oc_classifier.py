@@ -54,6 +54,15 @@ def build_parser() -> argparse.ArgumentParser:
              "rounded up to a multiple of N. Default 0 = single device.")
     parser.add_argument("--xlsr_tiny", action="store_true")
     parser.add_argument(
+        "--attention_impl", type=str, default="auto",
+        help='attention layout for scoring: "auto" (default) resolves '
+             "PER LENGTH BUCKET from the measured v5e table — xla wins "
+             "short utterances, the Pallas flash kernels win long ones "
+             "(occm_tpu.classify.impl_select, DESIGN.md long-T lane); or "
+             "pin one of xla | xla_merged | packed[N] | pad128 | flash "
+             "for every bucket. The reference scores full-length audio "
+             "(oc_classifier.py:93-94), so eval sweeps span both regimes.")
+    parser.add_argument(
         "--fast_numerics", action="store_true", default=False,
         help="bf16 norms + tanh GELU scoring (same knobs as training's "
              "--fast_numerics; encoder features within 2%% of the exact "
@@ -198,16 +207,24 @@ def main(argv=None):
         else:
             model = AModel(AASISTConfig(), xlsr_cfg=xlsr_cfg)
 
-    def embed_fn(x):
-        v = {"params": params}
-        if batch_stats:
-            v["batch_stats"] = batch_stats
-        out = model.apply(v, x, train=False)
-        if isinstance(out, tuple):
-            emb, logits = out
-        else:
-            emb = logits = out
-        return emb, logits
+    def build_model(xcfg):
+        if separate:
+            return SSLResNet34(xlsr_cfg=xcfg)
+        return AModel(AASISTConfig(), xlsr_cfg=xcfg)
+
+    def embed_fn_for(m):
+        def embed_fn(x):
+            v = {"params": params}
+            if batch_stats:
+                v["batch_stats"] = batch_stats
+            out = m.apply(v, x, train=False)
+            if isinstance(out, tuple):
+                emb, logits = out
+            else:
+                emb = logits = out
+            return emb, logits
+
+        return embed_fn
 
     mesh = None
     if args.data_parallel:
@@ -217,9 +234,19 @@ def main(argv=None):
         mesh = make_dp_mesh(n)
         print(f"scoring data-parallel over {mesh.devices.size} devices")
 
+    # per-bucket attention-impl selection: each length bucket runs the
+    # layout that wins at its shape (classify.impl_select policy; a
+    # pinned --attention_impl passes through unchanged for every bucket)
+    from occm_tpu.classify.impl_select import select_attention_impl
+
+    def embed_fn_factory(bucket_samples):
+        impl = select_attention_impl(bucket_samples, args.attention_impl)
+        return embed_fn_for(build_model(
+            dataclasses.replace(xlsr_cfg, attention_impl=impl)))
+
     embedder = BucketedEmbedder(
-        embed_fn, bucket_step=args.bucket_step, batch_size=args.batch_size,
-        mesh=mesh,
+        embed_fn_factory=embed_fn_factory, bucket_step=args.bucket_step,
+        batch_size=args.batch_size, mesh=mesh,
     )
     scorer = OneClassScorer(embedder)
 

@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
              "checkpoint is transformed at load time; embedding cosine "
              "vs exact ≈0.9996 at tiny scale — real-weight EER delta is "
              "checked by occm-parity-gate's int8 stage; run it first")
+    parser.add_argument(
+        "--attention_impl", type=str, default="auto",
+        help='attention layout per bucket executable: "auto" (default) '
+             "resolves per bucket length from the measured v5e table "
+             "(occm_tpu.classify.impl_select — xla short, flash kernels "
+             "long); or pin one impl for every bucket.")
     parser.add_argument("--allow_random_init", action="store_true",
                         help="serve random weights (testing only)")
     parser.add_argument("--no_warmup", action="store_true",
@@ -152,9 +158,23 @@ def main(argv=None, started_event=None):
         mesh = make_dp_mesh(n)
         print(f"serving data-parallel over {mesh.devices.size} devices")
 
+    # per-bucket attention-impl auto-selection (classify.impl_select):
+    # each bucket executable is AOT-compiled from the layout that wins at
+    # its length (xla short, flash kernels long; --attention_impl pins one)
+    from occm_tpu.classify.impl_select import select_attention_impl
+
+    final_cfg = model.xlsr_cfg
+
+    def score_fn_factory(bucket_samples):
+        impl = select_attention_impl(bucket_samples, args.attention_impl)
+        m = AModel(AASISTConfig(),
+                   xlsr_cfg=dataclasses.replace(
+                       final_cfg, attention_impl=impl))
+        return make_score_fn(m, params, batch_stats)
+
     service = ScoringService(
-        make_score_fn(model, params, batch_stats),
-        reference, threshold,
+        score_fn_factory=score_fn_factory,
+        reference_embedding=reference, threshold=threshold,
         buckets=tuple(args.buckets), batch=args.batch_size,
         mesh=mesh,
     )

@@ -128,12 +128,19 @@ def _bwd_kernel(q_ref, k_ref, kt_ref, vt_ref, do_ref,
         dv_ref[i] = dvT.astype(dv_ref.dtype)
 
 
-def _group(n: int) -> int:
+def _group(n: int, t: int = 256, n_live_tt: int = 1) -> int:
     """(b,h) pairs per grid step: largest divisor of n up to 8 — big
     enough to amortise the fixed per-step cost, small enough to keep the
-    block VMEM-resident."""
+    block VMEM-resident. VMEM-aware (r5 long-T lane): the whole-T kernel
+    holds `n_live_tt` live [T, T] fp32 tensors per pair (1 forward:
+    logits/probs reuse; 3 backward: p, dp, ds), so the group shrinks as
+    T grows — an 8 MB budget keeps the bench shape (T=256 padded) at
+    g=8, unchanged."""
+    budget = 8 * 1024 * 1024
+    per_pair = n_live_tt * t * t * 4
+    max_g = max(1, budget // max(per_pair, 1))
     for g in (8, 6, 4, 3, 2):
-        if n % g == 0:
+        if g <= max_g and n % g == 0:
             return g
     return 1
 
@@ -146,7 +153,7 @@ def _bh_spec(g: int, t: int, d: int):
 
 def _run_fwd(q, k, v, t_valid: int, scale: float, interpret: bool):
     B, H, T, D = q.shape
-    g = _group(B * H)
+    g = _group(B * H, T, n_live_tt=1)
     qf = q.reshape(B * H, T, D)
     # k transposed OUTSIDE the kernel: XLA's HBM transpose is cheap and
     # fusable; Mosaic's in-kernel relayout of a non-canonical dot operand
@@ -171,7 +178,7 @@ def _run_fwd(q, k, v, t_valid: int, scale: float, interpret: bool):
 
 def _run_bwd(q, k, v, do, t_valid: int, scale: float, interpret: bool):
     B, H, T, D = q.shape
-    g = _group(B * H)
+    g = _group(B * H, T, n_live_tt=3)
     flat = lambda x: x.reshape(B * H, T, D)
     flat_t = lambda x: jnp.swapaxes(x.reshape(B * H, T, D), 1, 2)
     td = _bh_spec(g, T, D)
@@ -194,6 +201,128 @@ def _run_bwd(q, k, v, do, t_valid: int, scale: float, interpret: bool):
     unflat = lambda x: x.reshape(B, H, T, D)
     unflat_t = lambda x: jnp.swapaxes(x, 1, 2).reshape(B, H, T, D)
     return unflat(dq), unflat_t(dkT), unflat_t(dvT)
+
+
+# ------------------------------------------- blocked kernel (long T)
+
+# Tile edge for the online-softmax kernel: [512, 512] fp32 logits tile is
+# 1 MB VMEM; the PV dot contracts 512 deep (full MXU depth, the regime
+# DESIGN.md's r3 post-mortem predicts kernels start winning in).
+_BLK = 512
+
+
+def _blocked_fwd_kernel(q_ref, kt_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                        *, t_valid: int, scale: float, nk: int):
+    """Classic flash forward: grid (BH, nq, nk) with the kv dimension
+    sequential; running (max, sum, acc) per query row live in VMEM
+    scratch across the kv sweep. Whole-T VMEM residency no longer bounds
+    T — the [T, T] matrix never exists (the whole-T kernel above tops out
+    at T≈1400 where its fp32 logits tile alone fills VMEM)."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr[...], -1e30)
+        l_scr[...] = jnp.zeros_like(l_scr[...])
+        acc_scr[...] = jnp.zeros_like(acc_scr[...])
+
+    # fold the softmax scale into q (same as the whole-T kernel)
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    logits = jnp.dot(
+        q, kt_ref[0], preferred_element_type=jnp.float32
+    )                                                    # [Bq, Bk] fp32
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) \
+        + ik * logits.shape[1]
+    logits = jnp.where(col < t_valid, logits, -1e30)
+
+    m_prev = m_scr[:, :1]                                # [Bq, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)                          # fp32
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0],
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        o_ref[0] = (
+            acc_scr[...] / l_scr[:, :1]
+        ).astype(o_ref.dtype)
+
+
+def _run_blocked_fwd(q, k, v, t_valid: int, scale: float, interpret: bool):
+    B, H, T, D = q.shape
+    assert T % _BLK == 0, (T, _BLK)
+    nq = nk = T // _BLK
+    qf = q.reshape(B * H, T, D)
+    ktf = jnp.swapaxes(k.reshape(B * H, T, D), 1, 2)     # [BH, D, T]
+    vf = v.reshape(B * H, T, D)
+    out = pl.pallas_call(
+        functools.partial(_blocked_fwd_kernel, t_valid=t_valid,
+                          scale=scale, nk=nk),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+        grid=(B * H, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, _BLK), lambda b, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_BLK, 128), jnp.float32),   # running max
+            pltpu.VMEM((_BLK, 128), jnp.float32),   # running sum
+            pltpu.VMEM((_BLK, D), jnp.float32),     # output accumulator
+        ],
+        # kv dim is a running reduction -> sequential ("arbitrary")
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, ktf, vf)
+    return out.reshape(B, H, T, D)
+
+
+def _masked_reference(q, k, v, t_valid: int):
+    """XLA attention over [B, H, T, D] with padded keys masked — the
+    differentiation target for the blocked kernel's backward (training at
+    long T is off the critical path; serving is forward-only)."""
+    D = q.shape[-1]
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * (1.0 / math.sqrt(D))
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 3)
+    logits = jnp.where(col < t_valid, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _blocked_flash_padded(q, k, v, t_valid: int, interpret: bool):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    return _run_blocked_fwd(q, k, v, t_valid, scale, interpret)
+
+
+def _bf_fwd(q, k, v, t_valid, interpret):
+    return _blocked_flash_padded(q, k, v, t_valid, interpret), (q, k, v)
+
+
+def _bf_bwd(t_valid, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _masked_reference(q, k, v, t_valid), q, k, v
+    )
+    return vjp(g)
+
+
+_blocked_flash_padded.defvjp(_bf_fwd, _bf_bwd)
 
 
 # ------------------------------------------------------------ public op
@@ -222,8 +351,16 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     interpret: Optional[bool] = None) -> jnp.ndarray:
     """Fused MHA: q,k,v [B, T, H, D] (unscaled q) -> [B, T, H, D].
 
-    Pads T to a multiple of 128, masks the padded keys, and drops the pad on
-    the way out. Set interpret=True to run the kernel on CPU (tests).
+    Dispatch by sequence length (r5 long-T lane):
+    - T (padded to 128) <= 512: whole-T kernel — each (batch, head)
+      pair's attention lives entirely in VMEM, custom Pallas backward.
+    - longer: blocked online-softmax kernel (tiles of 512, T padded to a
+      multiple of 512) — the full-length-audio scoring regime
+      (reference: oc_classifier.py:93-94 scores unbounded utterances);
+      backward differentiates the XLA reference (serving is fwd-only).
+
+    Masks padded keys, drops the pad on the way out. interpret=True runs
+    the kernels on CPU (tests).
     """
     if not _HAS_PALLAS:  # environment without pallas: XLA fallback
         return reference_attention(q, k, v)
@@ -231,6 +368,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
     B, T, H, D = q.shape
     Tp = _round_up(max(T, 128), 128)
+    blocked = Tp > 512
+    if blocked:
+        Tp = _round_up(T, _BLK)
 
     def prep(x):
         x = jnp.transpose(x, (0, 2, 1, 3))  # [B,H,T,D]
@@ -238,7 +378,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             x = jnp.pad(x, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
         return x
 
-    out = _flash_attention_padded(prep(q), prep(k), prep(v), T, interpret)
+    fn = _blocked_flash_padded if blocked else _flash_attention_padded
+    out = fn(prep(q), prep(k), prep(v), T, interpret)
     out = out[:, :, :T, :]
     return jnp.transpose(out, (0, 2, 1, 3))
 

@@ -81,17 +81,27 @@ class ScoringService:
 
     def __init__(
         self,
-        score_fn: Callable,
-        reference_embedding: np.ndarray,
-        threshold: float,
+        score_fn: Optional[Callable] = None,
+        reference_embedding: np.ndarray = None,
+        threshold: float = 0.0,
         buckets: Sequence[int] = (16000, 48000, 64600, 96000),
         batch: int = 8,
         mesh=None,
+        score_fn_factory: Optional[Callable[[int], Callable]] = None,
     ):
         """mesh: optional 1-axis dp mesh (occm_tpu.classify.make_dp_mesh);
         bucket executables shard their batch axis over it and `batch` is
-        rounded up to a multiple of the mesh size."""
+        rounded up to a multiple of the mesh size.
+
+        score_fn_factory(bucket_samples) -> score_fn: per-bucket scoring
+        functions (mutually exclusive with score_fn) — the serving side of
+        attention_impl="auto" (occm_tpu.classify.impl_select): each bucket
+        executable is AOT-compiled from the impl that wins at its length."""
+        if (score_fn is None) == (score_fn_factory is None):
+            raise ValueError(
+                "pass exactly one of score_fn / score_fn_factory")
         self._fn = score_fn
+        self._factory = score_fn_factory
         self.reference = jnp.asarray(reference_embedding)
         self.threshold = float(threshold)
         self.mesh = mesh
@@ -108,8 +118,9 @@ class ScoringService:
 
     def _get(self, bucket: int):
         if bucket not in self._compiled:
+            fn = self._fn if self._factory is None else self._factory(bucket)
             self._compiled[bucket] = aot_compile(
-                self._fn, self.batch, bucket, mesh=self.mesh)
+                fn, self.batch, bucket, mesh=self.mesh)
         return self._compiled[bucket]
 
     def _bucket_for(self, n: int) -> int:

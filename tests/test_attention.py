@@ -75,3 +75,59 @@ def test_xlsr_with_flash_attention_matches_xla_impl():
     np.testing.assert_allclose(
         np.asarray(out_xla), np.asarray(out_flash), atol=5e-4
     )
+
+
+# ------------------------- blocked online-softmax kernel (long T, r5) ---
+
+@pytest.mark.parametrize("T", [600, 1024, 1500])
+def test_blocked_forward_matches_reference(T):
+    """T past the whole-T kernel's 512 cutoff routes through the blocked
+    online-softmax kernel (tiles of 512, padded keys masked); outputs
+    must match the XLA reference at every length, including non-tile
+    multiples."""
+    rng = np.random.default_rng(2)
+    shape = (1, T, 4, 64)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.5)
+        for _ in range(3)
+    )
+    ours = np.asarray(flash_attention(q, k, v, interpret=True))
+    ref = np.asarray(reference_attention(q, k, v))
+    np.testing.assert_allclose(ours, ref, atol=3e-5)
+
+
+def test_blocked_gradients_match_reference():
+    T = 700  # > 512 -> blocked path; backward is the masked XLA reference
+    rng = np.random.default_rng(3)
+    shape = (1, T, 2, 64)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.5)
+        for _ in range(3)
+    )
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3
+        )
+
+
+def test_blocked_online_softmax_stability():
+    # large-magnitude logits: the running-max rescale must stay finite
+    # where a naive sum-of-exp overflows
+    T = 1024
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.normal(size=(1, T, 2, 64)).astype(np.float32) * 8)
+    k = jnp.asarray(rng.normal(size=(1, T, 2, 64)).astype(np.float32) * 8)
+    v = jnp.asarray(rng.normal(size=(1, T, 2, 64)).astype(np.float32))
+    out = np.asarray(flash_attention(q, k, v, interpret=True))
+    assert np.all(np.isfinite(out))
+    ref = np.asarray(reference_attention(q, k, v))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
