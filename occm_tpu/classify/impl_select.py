@@ -24,8 +24,9 @@ SR = 16000
 #: Bucket sample-count at and above which "flash" (the Pallas kernel
 #: family) replaces "xla". Set from the measured v5e sweep
 #: (tools/bench_longT.py, DESIGN.md r5 long-T table): xla wins 4 s
-#: (201 frames), flash wins 10 s+ (501+ frames); the crossover sits
-#: between, so the threshold is the first bucket boundary past 4 s.
+#: (597.8 vs 545.6 utt/s), flash wins 10 s (+12%), 20 s (+5%, blocked
+#: kernel) and 40 s (+11%, blocked kernel); the crossover sits between
+#: 4 and 10 s, so the threshold is the first bucket boundary past 4 s.
 AUTO_FLASH_MIN_SAMPLES = 5 * SR
 
 

@@ -49,6 +49,10 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--fast_numerics", action="store_true", default=False,
         help="bf16 norms + tanh GELU (see oc_classifier --fast_numerics)")
+    parser.add_argument(
+        "--attention_impl", type=str, default="auto",
+        help='"auto" (default) picks the attention layout per length '
+             "bucket (see oc_classifier --attention_impl); or pin one")
     parser.add_argument("--allow_random_init", action="store_true",
                         help="proceed with random weights if the "
                              "checkpoint is missing (testing only)")
@@ -116,13 +120,6 @@ def main(argv=None) -> None:
         print(f"WARNING: embedding with random init ({e}; "
               "--allow_random_init)")
 
-    def embed_fn(x):
-        v = {"params": params}
-        if batch_stats:
-            v["batch_stats"] = batch_stats
-        emb, logits = model.apply(v, x, train=False)
-        return emb, logits
-
     mesh = None
     if args.data_parallel:
         from occm_tpu.classify import make_dp_mesh
@@ -131,9 +128,27 @@ def main(argv=None) -> None:
         mesh = make_dp_mesh(n)
         print(f"embedding data-parallel over {mesh.devices.size} devices")
 
+    # per-bucket attention-impl selection (classify.impl_select)
+    from occm_tpu.classify.impl_select import select_attention_impl
+
+    def embed_fn_factory(bucket_samples):
+        impl = select_attention_impl(bucket_samples, args.attention_impl)
+        m = AModel(AASISTConfig(),
+                   xlsr_cfg=dataclasses.replace(xlsr_cfg,
+                                                attention_impl=impl))
+
+        def embed_fn(x):
+            v = {"params": params}
+            if batch_stats:
+                v["batch_stats"] = batch_stats
+            emb, logits = m.apply(v, x, train=False)
+            return emb, logits
+
+        return embed_fn
+
     embedder = BucketedEmbedder(
-        embed_fn, bucket_step=args.bucket_step, batch_size=args.batch_size,
-        mesh=mesh,
+        embed_fn_factory=embed_fn_factory, bucket_step=args.bucket_step,
+        batch_size=args.batch_size, mesh=mesh,
     )
 
     if args.eval:

@@ -231,8 +231,16 @@ def main(argv=None):
         cut=cfg.cut,
         seed=cfg.seed,
     )
+    # the pipeline shards its epoch by the mesh's DATA axes, not raw
+    # process index: on a pod where tp/pp cross host boundaries, hosts
+    # replicating the same batch shard must load identical data
+    # (parallel.data_shard_for_process)
+    from occm_tpu.parallel import make_mesh
+
+    mesh = make_mesh(cfg.mesh)
     pipeline = MetaBatchPipeline(
-        dataset, groups_per_step=cfg.groups_per_step, seed=cfg.seed
+        dataset, groups_per_step=cfg.groups_per_step, seed=cfg.seed,
+        mesh=mesh,
     )
 
     xlsr_cfg = XLSRConfig.tiny() if args.xlsr_tiny else XLSRConfig()
@@ -331,7 +339,7 @@ def main(argv=None):
 
     print("Training starts...")
     train(
-        model, pipeline, cfg,
+        model, pipeline, cfg, mesh=mesh,
         checkpoint_fn=checkpoint_fn, output_kind=output_kind,
         param_graft=param_graft, stats_graft=stats_graft,
         resume=args.resume,

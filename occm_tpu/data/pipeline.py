@@ -72,6 +72,7 @@ class MetaBatchPipeline:
         decode_threads: int = 8,
         shard_index: Optional[int] = None,
         shard_count: Optional[int] = None,
+        mesh=None,
     ):
         self.dataset = dataset
         self.groups = groups_per_step
@@ -86,14 +87,22 @@ class MetaBatchPipeline:
         self.decode_threads = decode_threads
         # multi-host data sharding: every host shuffles with the same seed
         # then takes a disjoint strided slice of the epoch order, so the
-        # global batch = concat of per-host batches with no overlap
-        # (defaults to jax.process_index()/process_count() when the
-        # distributed runtime is initialised; single-host = identity)
+        # global batch = concat of per-host batches with no overlap.
+        # Defaults: with `mesh`, shards follow the mesh's DATA axes
+        # (parallel.data_shard_for_process) — processes whose devices
+        # replicate the same batch shard (tp/pp crossing host boundaries)
+        # load IDENTICAL data; without a mesh, one shard per process
+        # (pure-dp pods; single-host = identity).
         if shard_index is None or shard_count is None:
-            import jax
+            if mesh is not None:
+                from occm_tpu.parallel.mesh import data_shard_for_process
 
-            shard_index = jax.process_index()
-            shard_count = jax.process_count()
+                shard_index, shard_count = data_shard_for_process(mesh)
+            else:
+                import jax
+
+                shard_index = jax.process_index()
+                shard_count = jax.process_count()
         if not 0 <= shard_index < shard_count:
             raise ValueError(
                 f"shard_index {shard_index} not in [0, {shard_count})"

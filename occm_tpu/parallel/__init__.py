@@ -4,6 +4,7 @@ from occm_tpu.parallel.mesh import (
     current_mesh,
     data_axes,
     data_parallel_size,
+    data_shard_for_process,
     data_spec,
     make_mesh,
     replicated,
@@ -23,6 +24,7 @@ __all__ = [
     "batch_sharding",
     "data_axes",
     "data_parallel_size",
+    "data_shard_for_process",
     "data_spec",
     "replicated",
     "opt_state_shardings",

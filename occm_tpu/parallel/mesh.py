@@ -122,5 +122,42 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, data_spec(mesh))
 
 
+def data_shard_for_process(mesh: Mesh,
+                           process_index: Optional[int] = None
+                           ) -> Tuple[int, int]:
+    """(shard_index, shard_count) of the GLOBAL batch this process's input
+    pipeline must load for `mesh`.
+
+    With pure data parallelism this is (process_index, process_count) —
+    the existing per-host slicing. But when model axes (tp / pp) cross
+    process boundaries there are FEWER data shards than processes:
+    processes whose devices hold replicas of the same batch shard must
+    load IDENTICAL data (e.g. 4 hosts on a fsdp=2 x tp=2 mesh form 2
+    data shards of 2 hosts each). Falls back to per-process slicing when
+    a process's devices span several data shards (then its slice is by
+    construction the union of those shards in device order)."""
+    if process_index is None:
+        process_index = jax.process_index()
+    axes = set(data_axes(mesh))
+    names = mesh.axis_names
+    shape = [mesh.shape[a] for a in names]
+    data_dims = [i for i, a in enumerate(names) if a in axes]
+    count = 1
+    for i in data_dims:
+        count *= shape[i]
+    shards_of: dict = {}
+    for idx in np.ndindex(*shape):
+        flat = 0
+        for i in data_dims:
+            flat = flat * shape[i] + idx[i]
+        shards_of.setdefault(
+            mesh.devices[idx].process_index, set()
+        ).add(flat)
+    local = shards_of.get(process_index)
+    if local is not None and len(local) == 1 and count <= len(shards_of):
+        return min(local), count
+    return process_index, jax.process_count()
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

@@ -140,8 +140,15 @@ def make_optimizer(cfg: TrainConfig):
 
         return FusedAdam(cfg.lr), None
     if cfg.lr_schedule == "constant":
-        sched = optax.constant_schedule(cfg.lr)
-    elif cfg.lr_schedule == "cosine":
+        # plain scalar adam, NOT adam(constant_schedule(lr)): a schedule
+        # callable swaps optax's trailing EmptyState for a
+        # ScaleByScheduleState, silently changing the checkpoint tree —
+        # restores against a plain-adam template then fail structurally
+        # (caught by tests/test_cli_training.py). Scalar lr reproduces
+        # the reference exactly (oc_training.py:324) and keeps the
+        # checkpoint layout stable.
+        return optax.adam(cfg.lr), optax.constant_schedule(cfg.lr)
+    if cfg.lr_schedule == "cosine":
         sched = optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=cfg.lr,
             warmup_steps=cfg.warmup_steps,

@@ -243,3 +243,172 @@ def test_multiprocess_weighted_tail_matches_single_process(worker_results):
                                                     rel=1e-5)
     assert results[0]["tail_fp"] == pytest.approx(
         _fingerprint(state.params), rel=5e-5)  # see step_fp comment
+
+
+# ---------------- 4-process pod with MODEL-sharding axes (r4 item 9) ----
+
+N_PROC_MS = 4
+
+
+@pytest.fixture(scope="module")
+def model_shard_results(tmp_path_factory):
+    """4 processes x 1 local device, mesh dp=1 x fsdp=2 x tp=2: every
+    axis crosses a process boundary, so the tp all-reduces, the fsdp
+    all-gather/reduce-scatter pairs AND the data-shard replication all
+    ride Gloo between processes."""
+    root = tmp_path_factory.mktemp("mp_ms")
+    _make_fixture(root)
+    outdir = root / "out"
+    outdir.mkdir()
+
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(N_PROC_MS), "12431",
+             str(outdir), str(root), "1", "model_shard"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(N_PROC_MS)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=2400)
+        outs.append(out.decode())
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{outs[i][-4000:]}"
+
+    results = []
+    for i in range(N_PROC_MS):
+        with open(outdir / f"result_{i}.json") as f:
+            results.append(json.load(f))
+    return results, root
+
+
+def _parent_model_shard(cfg_lr=1e-3):
+    import optax
+
+    from occm_tpu.config import (
+        AASISTConfig, MeshConfig, RawBoostConfig, TrainConfig, XLSRConfig,
+    )
+    from occm_tpu.models import AModel
+    from occm_tpu.parallel import make_mesh, place_state_on_mesh
+    from occm_tpu.train.loop import make_multi_step, make_train_step
+    from occm_tpu.train.state import create_train_state
+
+    cfg = TrainConfig(
+        lr=cfg_lr, cut=CUT, groups_per_step=1,
+        compactness_weight=0.1, descriptiveness_weight=0.9,
+        rawboost=RawBoostConfig(algo=0),
+        mesh=MeshConfig(dp=1, fsdp=2, tp=2),
+    )
+    model = AModel(AASISTConfig.tiny(), xlsr_cfg=XLSRConfig.tiny())
+    mesh = make_mesh(cfg.mesh, devices=jax.devices()[:4])
+
+    def fresh_state():
+        state = create_train_state(
+            model, jax.random.PRNGKey(0),
+            jnp.zeros((META, CUT), jnp.float32), optax.adam(cfg.lr))
+        return place_state_on_mesh(state, mesh)
+
+    return (cfg, mesh, fresh_state,
+            make_train_step(cfg, output_kind="dual"),
+            make_multi_step(cfg, 2, output_kind="dual"))
+
+
+def _ms_global_batch():
+    gen = np.random.default_rng(0)
+    x = (gen.normal(size=(2 * META, CUT)) * 0.1).astype(np.float32)
+    labels = np.tile(np.array([0] * 6 + [1] * 6, np.int32), 2)
+    return x, labels
+
+
+def test_model_shard_workers_agree(model_shard_results):
+    results, _ = model_shard_results
+    for i, r in enumerate(results):
+        assert r["n_devices"] == N_PROC_MS
+        # tp-paired processes {0,1} / {2,3} map onto data shards 0 / 1
+        assert r["data_shard"] == [i // 2, 2]
+    a = results[0]
+    for b in results[1:]:
+        for key in ("step_loss", "chunk_loss", "tail_loss", "step_fp",
+                    "chunk_fp", "tail_fp", "driver_fp"):
+            assert a[key] == pytest.approx(b[key], rel=1e-6), key
+    # 11 bona over 2 data shards -> shard_len 5 -> 2 full G=2 + ragged 1
+    assert a["steps_per_epoch"] == 3
+    assert a["driver_opt_steps"] == 3
+
+
+def test_model_shard_step_matches_single_process(model_shard_results):
+    """fsdp x tp global step over 4 processes == the same step on one
+    process (4 local devices of the parent's 8)."""
+    results, _ = model_shard_results
+    cfg, mesh, fresh_state, step, multi = _parent_model_shard()
+    from occm_tpu.parallel import compute_mesh
+    from occm_tpu.parallel.sharding import make_global_batch
+
+    x, labels = _ms_global_batch()
+    state = fresh_state()
+    with compute_mesh(mesh):
+        batch = make_global_batch((x, labels), mesh, P("fsdp"))
+        state, metrics = step(state, batch, jax.random.PRNGKey(7))
+    assert results[0]["step_loss"] == pytest.approx(
+        float(metrics["loss"]), rel=1e-5)
+    assert results[0]["step_fp"] == pytest.approx(
+        _fingerprint(state.params), rel=5e-5)
+
+
+def test_model_shard_chunk_matches_single_process(model_shard_results):
+    import optax
+
+    import mp_worker
+    from occm_tpu.config import XLSRConfig
+    from occm_tpu.parallel import compute_mesh, place_state_on_mesh
+    from occm_tpu.parallel.sharding import make_global_batch
+    from occm_tpu.train.state import create_train_state
+
+    results, _ = model_shard_results
+    cfg, mesh, fresh_state, step, multi = _parent_model_shard()
+
+    x, labels = _ms_global_batch()
+    # worker chunk layout: per data shard, step 2 reverses the shard rows
+    xs = np.stack([x, np.concatenate(
+        [x[s * META:(s + 1) * META][::-1] for s in range(2)])])
+    ls = np.stack([labels, labels])
+
+    smodel = mp_worker.make_smooth_model(XLSRConfig.tiny())
+    state = place_state_on_mesh(
+        create_train_state(smodel, jax.random.PRNGKey(0),
+                           jnp.zeros((META, CUT), jnp.float32),
+                           optax.sgd(cfg.lr)),
+        mesh,
+    )
+    with compute_mesh(mesh):
+        chunk = make_global_batch((xs, ls), mesh, P(None, "fsdp"))
+        state, m = multi(state, chunk, jax.random.PRNGKey(9))
+    assert results[0]["chunk_loss"] == pytest.approx(float(m["loss"]),
+                                                     rel=1e-5)
+    assert results[0]["chunk_fp"] == pytest.approx(
+        _fingerprint(state.params), rel=1e-5)
+
+
+def test_model_shard_weighted_tail_matches_single_process(
+        model_shard_results):
+    results, _ = model_shard_results
+    cfg, mesh, fresh_state, step, multi = _parent_model_shard()
+    from occm_tpu.parallel import compute_mesh
+    from occm_tpu.parallel.sharding import make_global_batch
+
+    x, labels = _ms_global_batch()
+    w = np.concatenate([np.ones((META,), np.float32),
+                        np.zeros((META,), np.float32)])
+    state = fresh_state()
+    with compute_mesh(mesh):
+        batch = make_global_batch((x, labels, w), mesh, P("fsdp"))
+        state, m = step(state, batch, jax.random.PRNGKey(11))
+    assert results[0]["tail_loss"] == pytest.approx(float(m["loss"]),
+                                                    rel=1e-5)
+    assert results[0]["tail_fp"] == pytest.approx(
+        _fingerprint(state.params), rel=5e-5)

@@ -543,3 +543,14 @@ def test_fsdp_chunked_dispatch_matches_single_device():
         state_ref.params["ssl"]["layers"]["layer"]["fc1"]["kernel"])
     np.testing.assert_allclose(np.asarray(fc1), fc1_ref,
                                rtol=1e-3, atol=1e-5)
+
+
+def test_data_shard_for_process_single_process():
+    """Single process owns every device -> it spans all data shards, so
+    the helper falls back to per-process slicing (0, 1): load everything."""
+    from occm_tpu.parallel import data_shard_for_process
+
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
+    assert data_shard_for_process(mesh) == (0, 1)
+    mesh = make_mesh(MeshConfig(dp=8))
+    assert data_shard_for_process(mesh) == (0, 1)
