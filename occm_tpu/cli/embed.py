@@ -132,7 +132,8 @@ def main(argv=None) -> None:
     from occm_tpu.classify.impl_select import select_attention_impl
 
     def embed_fn_factory(bucket_samples):
-        impl = select_attention_impl(bucket_samples, args.attention_impl)
+        impl = select_attention_impl(bucket_samples, args.attention_impl,
+                                     norm_dtype=xlsr_cfg.norm_dtype)
         m = AModel(AASISTConfig(),
                    xlsr_cfg=dataclasses.replace(xlsr_cfg,
                                                 attention_impl=impl))

@@ -240,7 +240,8 @@ def main(argv=None):
     from occm_tpu.classify.impl_select import select_attention_impl
 
     def embed_fn_factory(bucket_samples):
-        impl = select_attention_impl(bucket_samples, args.attention_impl)
+        impl = select_attention_impl(bucket_samples, args.attention_impl,
+                                     norm_dtype=xlsr_cfg.norm_dtype)
         return embed_fn_for(build_model(
             dataclasses.replace(xlsr_cfg, attention_impl=impl)))
 

@@ -166,7 +166,8 @@ def main(argv=None, started_event=None):
     final_cfg = model.xlsr_cfg
 
     def score_fn_factory(bucket_samples):
-        impl = select_attention_impl(bucket_samples, args.attention_impl)
+        impl = select_attention_impl(bucket_samples, args.attention_impl,
+                                     norm_dtype=final_cfg.norm_dtype)
         m = AModel(AASISTConfig(),
                    xlsr_cfg=dataclasses.replace(
                        final_cfg, attention_impl=impl))

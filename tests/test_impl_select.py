@@ -29,10 +29,16 @@ def test_policy():
     assert select_attention_impl(64600, "auto") == "xla"
     assert select_attention_impl(AUTO_FLASH_MIN_SAMPLES, "auto") == "flash"
     assert select_attention_impl(40 * 16000, "auto") == "flash"
-    # explicit impls pass through for every length
+    # fast numerics (bf16 softmax): xla wins every bucket (measured
+    # fast+int8 sweep, DESIGN.md) — auto must resolve to xla throughout
+    for n in (64600, AUTO_FLASH_MIN_SAMPLES, 40 * 16000):
+        assert select_attention_impl(n, "auto",
+                                     norm_dtype="bfloat16") == "xla"
+    # explicit impls pass through for every length and numerics
     for impl in ("xla", "packed4", "flash"):
         assert select_attention_impl(64600, impl) == impl
-        assert select_attention_impl(10 ** 6, impl) == impl
+        assert select_attention_impl(10 ** 6, impl,
+                                     norm_dtype="bfloat16") == impl
 
 
 def _embed_fn_for(impl: str):

@@ -50,6 +50,12 @@ def main():
     ap.add_argument("--seconds", default="4,10,20,40")
     ap.add_argument("--scan", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--fast", action="store_true",
+                    help="fast numerics (bf16 norms + tanh GELU + bf16 "
+                    "param mirror) — the --fast_numerics serving config")
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 int8 transformer projections "
+                    "(--quant_int8 serving config)")
     ap.add_argument("--jsonl", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "metrics.jsonl"))
@@ -69,6 +75,15 @@ def main():
     else:
         base_xlsr = XLSRConfig()
         acfg = AASISTConfig()
+    suffix = ""
+    if args.fast:
+        base_xlsr = dataclasses.replace(
+            base_xlsr, norm_dtype="bfloat16", gelu_approximate=True,
+            conv_gelu_approximate=True, bf16_param_mirror=True)
+        suffix += "_fast"
+    if args.int8:
+        base_xlsr = dataclasses.replace(base_xlsr, quant_int8=True)
+        suffix += "_int8"
 
     records = []
 
@@ -140,7 +155,7 @@ def main():
             float(s)
             dt = time.perf_counter() - t0
             utt = batch * args.scan * args.reps / dt
-            record(f"longT_{sec}s_{impl}", utt, utt * sec)
+            record(f"longT_{sec}s_{impl}{suffix}", utt, utt * sec)
             del sfn
 
     with open(args.jsonl, "a") as f:
