@@ -247,3 +247,62 @@ def test_mel_spectrogram_matches_naive_oracle():
         ])
     ref = np.asarray(rows)
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=1e-4)
+
+
+def test_lpc_matches_toeplitz_solve_oracle():
+    """LPC via a completely different algorithm: solve the Yule-Walker
+    normal equations R a = -r directly with np.linalg.solve (fp64
+    Toeplitz system) instead of the Levinson-Durbin recursion the
+    implementation uses. Autocorrelation computed by definition (time-
+    domain loop), not by FFT."""
+    import numpy as np
+
+    from occm_tpu.audio import features
+
+    fs, order = 16000, 6
+    rng = np.random.default_rng(13)
+    # a stable AR(4) process: LPC must recover poles frame after frame
+    x = np.zeros(2000)
+    e = rng.normal(size=2000)
+    for t in range(4, 2000):
+        x[t] = (1.8 * x[t - 1] - 1.2 * x[t - 2] + 0.5 * x[t - 3]
+                - 0.1 * x[t - 4]) * 0.5 + e[t]
+    x = (x / np.abs(x).max()).astype(np.float32)
+
+    ours = np.asarray(features.extract_lpc(x, fs, order=order))
+
+    frame_len, hop = 480, 240
+    win = 0.54 - 0.46 * np.cos(
+        2 * np.pi * np.arange(frame_len) / (frame_len - 1))
+    n_frames = (len(x) - frame_len) // hop + 1
+    assert ours.shape == (n_frames, order + 1)
+    for t in range(n_frames):
+        fr = (x[t * hop:t * hop + frame_len] * win).astype(np.float64)
+        r = np.array([
+            float(np.dot(fr[:frame_len - k], fr[k:])) for k in range(order + 1)
+        ])
+        R = np.array([[r[abs(i - j)] for j in range(order)]
+                      for i in range(order)])
+        a_tail = np.linalg.solve(R + 1e-10 * np.eye(order), -r[1:])
+        ref = np.concatenate([[1.0], a_tail])
+        np.testing.assert_allclose(ours[t], ref, rtol=5e-3, atol=5e-3)
+
+
+def test_lpcc_matches_recursion_oracle():
+    """LPCC pinned against a plain-Python loop of the published
+    LPC-to-cepstrum recursion c[n] = -a[n] - sum (k/n) c[k] a[n-k]."""
+    import numpy as np
+
+    from occm_tpu.audio import features
+
+    fs, order = 16000, 6
+    rng = np.random.default_rng(14)
+    x = (0.3 * rng.normal(size=1600)).astype(np.float32)
+    a = np.asarray(features.extract_lpc(x, fs, order=order), np.float64)
+    ours = np.asarray(features.extract_lpcc(x, fs, order=order))
+    for t in range(a.shape[0]):
+        c = np.zeros(order + 1)
+        for n in range(1, order + 1):
+            acc = sum((k / n) * c[k] * a[t, n - k] for k in range(1, n))
+            c[n] = -a[t, n] - acc
+        np.testing.assert_allclose(ours[t], c, rtol=1e-4, atol=1e-5)
