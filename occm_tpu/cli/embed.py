@@ -89,10 +89,12 @@ def main(argv=None) -> None:
                 "Pass --allow_random_init to embed with random weights "
                 "(testing only).")
 
+    # host-fabricated restore template (utils/init_template.py): no
+    # 300M init trace through the tunnel before the restore
+    from occm_tpu.utils.init_template import fabricate_template_variables
+
     sample = jnp.zeros((1, 64600), jnp.float32)
-    variables = jax.jit(
-        lambda r, x: model.init({"params": r, "dropout": r}, x)
-    )(jax.random.PRNGKey(0), sample)
+    variables = fabricate_template_variables(model, sample)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 

@@ -133,11 +133,13 @@ def main(argv=None):
                     "weights (testing only)."
                 )
 
+    # host-fabricated restore template: the real init's values are
+    # replaced by the restore, and tracing a 300M init through a remote
+    # TPU costs minutes (utils/init_template.py)
+    from occm_tpu.utils.init_template import fabricate_template_variables
+
     sample = jnp.zeros((1, 64600), jnp.float32)
-    init_fn = jax.jit(
-        lambda r, x: model.init({"params": r, "dropout": r}, x)
-    )
-    variables = init_fn(jax.random.PRNGKey(0), sample)
+    variables = fabricate_template_variables(model, sample)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 

@@ -116,11 +116,12 @@ def main(argv=None, started_event=None):
             "--allow_random_init to serve random weights (testing only)."
         )
 
+    # host-fabricated restore template (utils/init_template.py): no
+    # 300M init trace through the tunnel at server startup
+    from occm_tpu.utils.init_template import fabricate_template_variables
+
     sample = jnp.zeros((1, min(args.buckets)), jnp.float32)
-    init_fn = jax.jit(
-        lambda r, x: model.init({"params": r, "dropout": r}, x)
-    )
-    variables = init_fn(jax.random.PRNGKey(0), sample)
+    variables = fabricate_template_variables(model, sample)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 

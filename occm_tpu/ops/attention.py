@@ -211,13 +211,16 @@ def _run_bwd(q, k, v, do, t_valid: int, scale: float, interpret: bool):
 _BLK = 512
 
 
-def _blocked_fwd_kernel(q_ref, kt_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+def _blocked_fwd_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref,
+                        m_scr, l_scr, acc_scr,
                         *, t_valid: int, scale: float, nk: int):
     """Classic flash forward: grid (BH, nq, nk) with the kv dimension
     sequential; running (max, sum, acc) per query row live in VMEM
     scratch across the kv sweep. Whole-T VMEM residency no longer bounds
     T — the [T, T] matrix never exists (the whole-T kernel above tops out
-    at T≈1400 where its fp32 logits tile alone fills VMEM)."""
+    at T≈1400 where its fp32 logits tile alone fills VMEM). Also emits
+    the log-sum-exp per query row, which the backward kernels consume to
+    rebuild probabilities block-by-block."""
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -249,9 +252,12 @@ def _blocked_fwd_kernel(q_ref, kt_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 
     @pl.when(ik == nk - 1)
     def _finish():
-        o_ref[0] = (
-            acc_scr[...] / l_scr[:, :1]
-        ).astype(o_ref.dtype)
+        l_fin = l_scr[:, :1]
+        o_ref[0] = (acc_scr[...] / l_fin).astype(o_ref.dtype)
+        # lse rows live on the LANE axis of the (1, Bq) output block
+        lse_ref[...] = jnp.transpose(
+            m_scr[:, :1] + jnp.log(jnp.maximum(l_fin, 1e-30)), (1, 0)
+        )
 
 
 def _run_blocked_fwd(q, k, v, t_valid: int, scale: float, interpret: bool):
@@ -261,10 +267,13 @@ def _run_blocked_fwd(q, k, v, t_valid: int, scale: float, interpret: bool):
     qf = q.reshape(B * H, T, D)
     ktf = jnp.swapaxes(k.reshape(B * H, T, D), 1, 2)     # [BH, D, T]
     vf = v.reshape(B * H, T, D)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_blocked_fwd_kernel, t_valid=t_valid,
                           scale=scale, nk=nk),
-        out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, T), jnp.float32),
+        ],
         grid=(B * H, nq, nk),
         in_specs=[
             pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, i, 0),
@@ -274,8 +283,12 @@ def _run_blocked_fwd(q, k, v, t_valid: int, scale: float, interpret: bool):
             pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK), lambda b, i, j: (b, i),
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((_BLK, 128), jnp.float32),   # running max
             pltpu.VMEM((_BLK, 128), jnp.float32),   # running sum
@@ -287,13 +300,158 @@ def _run_blocked_fwd(q, k, v, t_valid: int, scale: float, interpret: bool):
         ),
         interpret=interpret,
     )(qf, ktf, vf)
-    return out.reshape(B, H, T, D)
+    return out.reshape(B, H, T, D), lse
+
+
+def _blocked_p_ds(q_ref, kt_ref, vt_ref, do_ref, lse_ref, delta_ref,
+                  t_valid: int, scale: float, ik: int):
+    """Shared backward recompute for one (q-block, kv-block) pair:
+    p = exp(scale·qkᵀ − lse) and ds = p·(do·vᵀ − delta), both [Bq, Bk]
+    fp32. Canonical dot layouts throughout; the per-query lse/delta rows
+    arrive as (1, Bq) lane-axis blocks and transpose to (Bq, 1) columns —
+    a 512-element relayout, negligible next to the two 512-deep dots."""
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    logits = jnp.dot(q, kt_ref[0], preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) \
+        + ik * logits.shape[1]
+    logits = jnp.where(col < t_valid, logits, -1e30)
+    lse = jnp.transpose(lse_ref[...], (1, 0))            # [Bq, 1]
+    p = jnp.exp(logits - lse)
+    dp = jnp.dot(do_ref[0], vt_ref[0],
+                 preferred_element_type=jnp.float32)     # [Bq, Bk]
+    delta = jnp.transpose(delta_ref[...], (1, 0))        # [Bq, 1]
+    ds = p * (dp - delta)
+    return p, ds
+
+
+def _blocked_dq_kernel(q_ref, kt_ref, k_ref, vt_ref, do_ref, lse_ref,
+                       delta_ref, dq_ref, dq_scr,
+                       *, t_valid: int, scale: float, nk: int):
+    """dq = scale · Σ_j ds_ij @ k_j — grid (BH, nq, nk), kv sequential,
+    fp32 accumulator in VMEM scratch."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr[...])
+
+    _, ds = _blocked_p_ds(q_ref, kt_ref, vt_ref, do_ref, lse_ref,
+                          delta_ref, t_valid, scale, ik)
+    dq_scr[...] += jnp.dot(
+        ds.astype(q_ref.dtype), k_ref[0],
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _blocked_dkv_kernel(q_ref, kt_ref, vt_ref, do_ref, lse_ref, delta_ref,
+                        dkT_ref, dvT_ref, dkT_scr, dvT_scr,
+                        *, t_valid: int, scale: float, nq: int):
+    """dkᵀ = scale · Σ_i qᵀ_i @ ds_ij, dvᵀ = Σ_i doᵀ_i @ p_ij — grid
+    (BH, nk, nq), q sequential. Transposed accumulators so the only
+    dim-0 contractions are on the small [Bq, D] operands (the whole-T
+    backward's layout rule); results un-transpose outside in XLA."""
+    iq = pl.program_id(2)
+    ik = pl.program_id(1)
+
+    @pl.when(iq == 0)
+    def _init():
+        dkT_scr[...] = jnp.zeros_like(dkT_scr[...])
+        dvT_scr[...] = jnp.zeros_like(dvT_scr[...])
+
+    p, ds = _blocked_p_ds(q_ref, kt_ref, vt_ref, do_ref, lse_ref,
+                          delta_ref, t_valid, scale, ik)
+    dvT_scr[...] += jax.lax.dot_general(
+        do_ref[0], p.astype(do_ref.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # [D, Bk]
+    dkT_scr[...] += jax.lax.dot_general(
+        q_ref[0], ds.astype(q_ref.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                            # [D, Bk]
+
+    @pl.when(iq == nq - 1)
+    def _finish():
+        dkT_ref[0] = dkT_scr[...].astype(dkT_ref.dtype)
+        dvT_ref[0] = dvT_scr[...].astype(dvT_ref.dtype)
+
+
+def _run_blocked_bwd(q, k, v, o, lse, do, t_valid: int, scale: float,
+                     interpret: bool):
+    B, H, T, D = q.shape
+    assert T % _BLK == 0, (T, _BLK)
+    nq = nk = T // _BLK
+    flat = lambda x: x.reshape(B * H, T, D)
+    flat_t = lambda x: jnp.swapaxes(x.reshape(B * H, T, D), 1, 2)
+    qf, kf, dof = flat(q), flat(k), flat(do)
+    ktf, vtf = flat_t(k), flat_t(v)
+    # delta_i = rowsum(do * o): cheap, fusable, fp32 — XLA side
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    ).reshape(B * H, T)
+
+    td = pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, i, 0),
+                      memory_space=pltpu.VMEM)
+    ktb = pl.BlockSpec((1, D, _BLK), lambda b, i, j: (b, 0, j),
+                       memory_space=pltpu.VMEM)
+    kb = pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, j, 0),
+                      memory_space=pltpu.VMEM)
+    rowq = pl.BlockSpec((1, _BLK), lambda b, i, j: (b, i),
+                        memory_space=pltpu.VMEM)
+    seq = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"))
+
+    dq = pl.pallas_call(
+        functools.partial(_blocked_dq_kernel, t_valid=t_valid,
+                          scale=scale, nk=nk),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+        grid=(B * H, nq, nk),
+        in_specs=[td, ktb, kb, ktb, td, rowq, rowq],
+        out_specs=td,
+        scratch_shapes=[pltpu.VMEM((_BLK, D), jnp.float32)],
+        compiler_params=seq,
+        interpret=interpret,
+    )(qf, ktf, kf, vtf, dof, lse, delta)
+
+    # dkv: grid dim 1 indexes the KV block, dim 2 sweeps q blocks
+    tdq = pl.BlockSpec((1, _BLK, D), lambda b, j, i: (b, i, 0),
+                       memory_space=pltpu.VMEM)
+    ktbq = pl.BlockSpec((1, D, _BLK), lambda b, j, i: (b, 0, j),
+                        memory_space=pltpu.VMEM)
+    rowq2 = pl.BlockSpec((1, _BLK), lambda b, j, i: (b, i),
+                         memory_space=pltpu.VMEM)
+    dtb = pl.BlockSpec((1, D, _BLK), lambda b, j, i: (b, 0, j),
+                       memory_space=pltpu.VMEM)
+    dkT, dvT = pl.pallas_call(
+        functools.partial(_blocked_dkv_kernel, t_valid=t_valid,
+                          scale=scale, nq=nq),
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, D, T), q.dtype),
+            jax.ShapeDtypeStruct((B * H, D, T), q.dtype),
+        ],
+        grid=(B * H, nk, nq),
+        in_specs=[tdq, ktbq, ktbq, tdq, rowq2, rowq2],
+        out_specs=[dtb, dtb],
+        scratch_shapes=[
+            pltpu.VMEM((D, _BLK), jnp.float32),
+            pltpu.VMEM((D, _BLK), jnp.float32),
+        ],
+        compiler_params=seq,
+        interpret=interpret,
+    )(qf, ktf, vtf, dof, lse, delta)
+
+    unflat = lambda x: x.reshape(B, H, T, D)
+    unflat_t = lambda x: jnp.swapaxes(x, 1, 2).reshape(B, H, T, D)
+    return unflat(dq), unflat_t(dkT), unflat_t(dvT)
 
 
 def _masked_reference(q, k, v, t_valid: int):
     """XLA attention over [B, H, T, D] with padded keys masked — the
-    differentiation target for the blocked kernel's backward (training at
-    long T is off the critical path; serving is forward-only)."""
+    independent oracle the blocked kernels are parity-tested against
+    (tests/test_attention.py)."""
     D = q.shape[-1]
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -307,19 +465,26 @@ def _masked_reference(q, k, v, t_valid: int):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _blocked_flash_padded(q, k, v, t_valid: int, interpret: bool):
     scale = 1.0 / math.sqrt(q.shape[-1])
-    return _run_blocked_fwd(q, k, v, t_valid, scale, interpret)
+    return _run_blocked_fwd(q, k, v, t_valid, scale, interpret)[0]
 
 
 def _bf_fwd(q, k, v, t_valid, interpret):
-    return _blocked_flash_padded(q, k, v, t_valid, interpret), (q, k, v)
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    o, lse = _run_blocked_fwd(q, k, v, t_valid, scale, interpret)
+    return o, (q, k, v, o, lse)
 
 
 def _bf_bwd(t_valid, interpret, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: _masked_reference(q, k, v, t_valid), q, k, v
-    )
-    return vjp(g)
+    # flash-style blocked backward: probabilities rebuilt block-by-block
+    # from the saved log-sum-exp — the [T, T] matrix never exists in
+    # either direction (the r5-initial XLA-reference backward
+    # materialised [B, H, T, T] in HBM; long-cut fine-tuning pays that
+    # at T=2048). Padded-q-row contributions vanish automatically: their
+    # upstream gradient rows are zero (the wrapper's output slice), so
+    # ds = p·(0 − 0) = 0 and dv sees p·0.
+    q, k, v, o, lse = res
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    return _run_blocked_bwd(q, k, v, o, lse, g, t_valid, scale, interpret)
 
 
 _blocked_flash_padded.defvjp(_bf_fwd, _bf_bwd)
@@ -355,9 +520,11 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     - T (padded to 128) <= 512: whole-T kernel — each (batch, head)
       pair's attention lives entirely in VMEM, custom Pallas backward.
     - longer: blocked online-softmax kernel (tiles of 512, T padded to a
-      multiple of 512) — the full-length-audio scoring regime
-      (reference: oc_classifier.py:93-94 scores unbounded utterances);
-      backward differentiates the XLA reference (serving is fwd-only).
+      multiple of 512) — the full-length-audio regime (reference:
+      oc_classifier.py:93-94 scores unbounded utterances); backward is
+      the flash-style blocked pair (dq over a kv sweep, dkᵀ/dvᵀ over a
+      q sweep) rebuilding probabilities from the saved log-sum-exp, so
+      long-cut fine-tuning never materialises [T, T] either.
 
     Masks padded keys, drops the pad on the way out. interpret=True runs
     the kernels on CPU (tests).

@@ -131,3 +131,28 @@ def test_blocked_online_softmax_stability():
     assert np.all(np.isfinite(out))
     ref = np.asarray(reference_attention(q, k, v))
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_blocked_gradients_multiblock_match_reference():
+    # T=1024 = 2x2 blocks: exercises both accumulator sweeps (dq over kv,
+    # dkv over q) across MULTIPLE blocks, through the Pallas backward
+    T = 1024
+    rng = np.random.default_rng(5)
+    shape = (1, T, 2, 64)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.5)
+        for _ in range(3)
+    )
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3
+        )
