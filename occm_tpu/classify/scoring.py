@@ -68,7 +68,8 @@ class BucketedEmbedder:
                  bucket_step: int = 16000,
                  max_len: Optional[int] = None, batch_size: int = 8,
                  mesh: Optional[Mesh] = None,
-                 embed_fn_factory: Optional[Callable[[int], Callable]] = None):
+                 embed_fn_factory: Optional[Callable[[int], Callable]] = None,
+                 variables=None):
         """max_len=None (default) never truncates: every utterance gets a
         bucket at least its own length, exactly like the reference's
         full-length batch=1 scoring (reference: oc_classifier.py:93-94).
@@ -83,7 +84,15 @@ class BucketedEmbedder:
         functions (mutually exclusive with embed_fn) — the plumbing behind
         attention_impl="auto" (classify.impl_select): each length bucket
         can run the attention layout that wins at its shape. jit re-traces
-        per shape either way, so per-bucket functions add no compiles."""
+        per shape either way, so per-bucket functions add no compiles.
+
+        variables: optional model-variable tree. When given, embed fns
+        take (variables, x) and the tree is device_put ONCE and passed as
+        a jit ARGUMENT; without it, fns take (x) and any weights they
+        close over are baked into the program as constants — at 300M
+        scale a serialized 1.2 GB program breaks remote-compile
+        transports (the bench_int8_serving gotcha, hit for real by the
+        scoring CLI through the TPU tunnel)."""
         if (embed_fn is None) == (embed_fn_factory is None):
             raise ValueError(
                 "pass exactly one of embed_fn / embed_fn_factory")
@@ -95,6 +104,14 @@ class BucketedEmbedder:
                     f"{mesh.axis_names}")
             n = mesh.devices.size
             batch_size = ((batch_size + n - 1) // n) * n
+        if variables is None:
+            self._vars = None
+        elif mesh is None:
+            self._vars = jax.device_put(variables)
+        else:
+            rep = NamedSharding(mesh, P())
+            self._vars = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, rep), variables)
         self._factory = embed_fn_factory
         self._embed = None if embed_fn is None else self._jit(embed_fn)
         self._per_bucket: dict = {}
@@ -104,10 +121,21 @@ class BucketedEmbedder:
 
     def _jit(self, fn: Callable) -> Callable:
         if self.mesh is None:
-            return jax.jit(fn)
-        (ax,) = self.mesh.axis_names
-        sh = NamedSharding(self.mesh, P(ax))
-        return jax.jit(fn, in_shardings=sh, out_shardings=sh)
+            jf = jax.jit(fn)
+        else:
+            (ax,) = self.mesh.axis_names
+            sh = NamedSharding(self.mesh, P(ax))
+            if self._vars is None:
+                jf = jax.jit(fn, in_shardings=sh, out_shardings=sh)
+            else:
+                rep = NamedSharding(self.mesh, P())
+                v_sh = jax.tree_util.tree_map(lambda a: rep, self._vars)
+                jf = jax.jit(fn, in_shardings=(v_sh, sh),
+                             out_shardings=sh)
+        if self._vars is None:
+            return jf
+        v = self._vars
+        return lambda batch: jf(v, batch)
 
     def _embed_for(self, blen: int) -> Callable:
         """The jitted embed fn for a bucket length (factory mode compiles

@@ -130,8 +130,14 @@ def main(argv=None) -> None:
         mesh = make_dp_mesh(n)
         print(f"embedding data-parallel over {mesh.devices.size} devices")
 
-    # per-bucket attention-impl selection (classify.impl_select)
+    # per-bucket attention-impl selection (classify.impl_select);
+    # weights travel as a jit argument (variables=...), never as
+    # closure-baked program constants
     from occm_tpu.classify.impl_select import select_attention_impl
+
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
 
     def embed_fn_factory(bucket_samples):
         impl = select_attention_impl(bucket_samples, args.attention_impl,
@@ -140,10 +146,7 @@ def main(argv=None) -> None:
                    xlsr_cfg=dataclasses.replace(xlsr_cfg,
                                                 attention_impl=impl))
 
-        def embed_fn(x):
-            v = {"params": params}
-            if batch_stats:
-                v["batch_stats"] = batch_stats
+        def embed_fn(v, x):
             emb, logits = m.apply(v, x, train=False)
             return emb, logits
 
@@ -151,7 +154,7 @@ def main(argv=None) -> None:
 
     embedder = BucketedEmbedder(
         embed_fn_factory=embed_fn_factory, bucket_step=args.bucket_step,
-        batch_size=args.batch_size, mesh=mesh,
+        batch_size=args.batch_size, mesh=mesh, variables=variables,
     )
 
     if args.eval:

@@ -214,11 +214,15 @@ def main(argv=None):
             return SSLResNet34(xlsr_cfg=xcfg)
         return AModel(AASISTConfig(), xlsr_cfg=xcfg)
 
+    # weights travel as a jit ARGUMENT (BucketedEmbedder variables=...):
+    # closure-captured 300M trees serialize into the compiled program
+    # and break remote-compile transports
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+
     def embed_fn_for(m):
-        def embed_fn(x):
-            v = {"params": params}
-            if batch_stats:
-                v["batch_stats"] = batch_stats
+        def embed_fn(v, x):
             out = m.apply(v, x, train=False)
             if isinstance(out, tuple):
                 emb, logits = out
@@ -249,7 +253,7 @@ def main(argv=None):
 
     embedder = BucketedEmbedder(
         embed_fn_factory=embed_fn_factory, bucket_step=args.bucket_step,
-        batch_size=args.batch_size, mesh=mesh,
+        batch_size=args.batch_size, mesh=mesh, variables=variables,
     )
     scorer = OneClassScorer(embedder)
 

@@ -86,7 +86,7 @@ def main(argv=None, started_event=None):
 
     from occm_tpu.config import AASISTConfig, XLSRConfig
     from occm_tpu.models import AModel
-    from occm_tpu.serve import BatchingQueue, ScoringService, make_score_fn
+    from occm_tpu.serve import BatchingQueue, ScoringService
     from occm_tpu.serve_http import ScoringHTTPServer
 
     ref_path = os.path.join(args.artifacts_dir, "reference_embedding.npy")
@@ -161,10 +161,16 @@ def main(argv=None, started_event=None):
 
     # per-bucket attention-impl auto-selection (classify.impl_select):
     # each bucket executable is AOT-compiled from the layout that wins at
-    # its length (xla short, flash kernels long; --attention_impl pins one)
+    # its length (xla short, flash kernels long; --attention_impl pins
+    # one). Weights travel as a jit argument (variables=...), never as
+    # closure-baked program constants.
     from occm_tpu.classify.impl_select import select_attention_impl
+    from occm_tpu.serve import make_score_fn_v
 
     final_cfg = model.xlsr_cfg
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
 
     def score_fn_factory(bucket_samples):
         impl = select_attention_impl(bucket_samples, args.attention_impl,
@@ -172,13 +178,13 @@ def main(argv=None, started_event=None):
         m = AModel(AASISTConfig(),
                    xlsr_cfg=dataclasses.replace(
                        final_cfg, attention_impl=impl))
-        return make_score_fn(m, params, batch_stats)
+        return make_score_fn_v(m)
 
     service = ScoringService(
         score_fn_factory=score_fn_factory,
         reference_embedding=reference, threshold=threshold,
         buckets=tuple(args.buckets), batch=args.batch_size,
-        mesh=mesh,
+        mesh=mesh, variables=variables,
     )
     if not args.no_warmup:
         print(f"AOT-compiling {len(args.buckets)} bucket executables...")

@@ -254,9 +254,13 @@ def _blocked_fwd_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref,
     def _finish():
         l_fin = l_scr[:, :1]
         o_ref[0] = (acc_scr[...] / l_fin).astype(o_ref.dtype)
-        # lse rows live on the LANE axis of the (1, Bq) output block
-        lse_ref[...] = jnp.transpose(
-            m_scr[:, :1] + jnp.log(jnp.maximum(l_fin, 1e-30)), (1, 0)
+        # per-row lse replicated across the 128 lanes of its block (the
+        # in-tree TPU flash kernel's layout: Mosaic rejects blocks whose
+        # second-to-last dim is neither divisible by 8 nor the array dim,
+        # so a (1, Bq) row-block cannot exist)
+        lse_ref[0] = jnp.broadcast_to(
+            m_scr[:, :1] + jnp.log(jnp.maximum(l_fin, 1e-30)),
+            lse_ref.shape[1:],
         )
 
 
@@ -272,7 +276,7 @@ def _run_blocked_fwd(q, k, v, t_valid: int, scale: float, interpret: bool):
                           scale=scale, nk=nk),
         out_shape=[
             jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, T), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, T, 128), jnp.float32),
         ],
         grid=(B * H, nq, nk),
         in_specs=[
@@ -286,7 +290,7 @@ def _run_blocked_fwd(q, k, v, t_valid: int, scale: float, interpret: bool):
         out_specs=[
             pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLK), lambda b, i, j: (b, i),
+            pl.BlockSpec((1, _BLK, 128), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -307,20 +311,18 @@ def _blocked_p_ds(q_ref, kt_ref, vt_ref, do_ref, lse_ref, delta_ref,
                   t_valid: int, scale: float, ik: int):
     """Shared backward recompute for one (q-block, kv-block) pair:
     p = exp(scale·qkᵀ − lse) and ds = p·(do·vᵀ − delta), both [Bq, Bk]
-    fp32. Canonical dot layouts throughout; the per-query lse/delta rows
-    arrive as (1, Bq) lane-axis blocks and transpose to (Bq, 1) columns —
-    a 512-element relayout, negligible next to the two 512-deep dots."""
+    fp32. Canonical dot layouts throughout; per-query lse/delta arrive
+    lane-replicated ((1, Bq, 128) blocks, the in-tree layout) and slice
+    to (Bq, 1) columns for free."""
     q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     logits = jnp.dot(q, kt_ref[0], preferred_element_type=jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) \
         + ik * logits.shape[1]
     logits = jnp.where(col < t_valid, logits, -1e30)
-    lse = jnp.transpose(lse_ref[...], (1, 0))            # [Bq, 1]
-    p = jnp.exp(logits - lse)
+    p = jnp.exp(logits - lse_ref[0][:, :1])
     dp = jnp.dot(do_ref[0], vt_ref[0],
                  preferred_element_type=jnp.float32)     # [Bq, Bk]
-    delta = jnp.transpose(delta_ref[...], (1, 0))        # [Bq, 1]
-    ds = p * (dp - delta)
+    ds = p * (dp - delta_ref[0][:, :1])
     return p, ds
 
 
@@ -388,10 +390,13 @@ def _run_blocked_bwd(q, k, v, o, lse, do, t_valid: int, scale: float,
     flat_t = lambda x: jnp.swapaxes(x.reshape(B * H, T, D), 1, 2)
     qf, kf, dof = flat(q), flat(k), flat(do)
     ktf, vtf = flat_t(k), flat_t(v)
-    # delta_i = rowsum(do * o): cheap, fusable, fp32 — XLA side
-    delta = jnp.sum(
-        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
-    ).reshape(B * H, T)
+    # delta_i = rowsum(do * o), lane-replicated to the (1, Bq, 128)
+    # block layout the kernels read (in-tree flash layout)
+    delta = jnp.broadcast_to(
+        jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                axis=-1).reshape(B * H, T)[..., None],
+        (B * H, T, 128),
+    )
 
     td = pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, i, 0),
                       memory_space=pltpu.VMEM)
@@ -399,7 +404,7 @@ def _run_blocked_bwd(q, k, v, o, lse, do, t_valid: int, scale: float,
                        memory_space=pltpu.VMEM)
     kb = pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, j, 0),
                       memory_space=pltpu.VMEM)
-    rowq = pl.BlockSpec((1, _BLK), lambda b, i, j: (b, i),
+    rowq = pl.BlockSpec((1, _BLK, 128), lambda b, i, j: (b, i, 0),
                         memory_space=pltpu.VMEM)
     seq = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"))
@@ -421,7 +426,7 @@ def _run_blocked_bwd(q, k, v, o, lse, do, t_valid: int, scale: float,
                        memory_space=pltpu.VMEM)
     ktbq = pl.BlockSpec((1, D, _BLK), lambda b, j, i: (b, 0, j),
                         memory_space=pltpu.VMEM)
-    rowq2 = pl.BlockSpec((1, _BLK), lambda b, j, i: (b, i),
+    rowq2 = pl.BlockSpec((1, _BLK, 128), lambda b, j, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
     dtb = pl.BlockSpec((1, D, _BLK), lambda b, j, i: (b, 0, j),
                        memory_space=pltpu.VMEM)
@@ -471,7 +476,9 @@ def _blocked_flash_padded(q, k, v, t_valid: int, interpret: bool):
 def _bf_fwd(q, k, v, t_valid, interpret):
     scale = 1.0 / math.sqrt(q.shape[-1])
     o, lse = _run_blocked_fwd(q, k, v, t_valid, scale, interpret)
-    return o, (q, k, v, o, lse)
+    # residual stores one lane of the lane-replicated lse (128x smaller);
+    # the backward re-broadcasts it into the kernel block layout
+    return o, (q, k, v, o, lse[:, :, 0])
 
 
 def _bf_bwd(t_valid, interpret, res, g):
@@ -484,6 +491,7 @@ def _bf_bwd(t_valid, interpret, res, g):
     # ds = p·(0 − 0) = 0 and dv sees p·0.
     q, k, v, o, lse = res
     scale = 1.0 / math.sqrt(q.shape[-1])
+    lse = jnp.broadcast_to(lse[..., None], lse.shape + (128,))
     return _run_blocked_bwd(q, k, v, o, lse, g, t_valid, scale, interpret)
 
 

@@ -29,7 +29,13 @@ from occm_tpu.losses import pairwise_distance
 
 
 def make_score_fn(model, params, batch_stats=None) -> Callable:
-    """wave [B, T] -> (emb [B, D], logits [B, C])."""
+    """wave [B, T] -> (emb [B, D], logits [B, C]).
+
+    NOTE: the returned fn closes over the weights, which bakes them into
+    the compiled program as constants — fine locally, but a serialized
+    1.2 GB program breaks remote-compile transports at 300M scale.
+    Production paths use make_score_fn_v + ScoringService(variables=...),
+    which pass the tree as a jit argument instead."""
 
     def fn(x):
         variables = {"params": params}
@@ -43,22 +49,56 @@ def make_score_fn(model, params, batch_stats=None) -> Callable:
     return fn
 
 
-def aot_compile(fn: Callable, batch: int, length: int, mesh=None):
+def make_score_fn_v(model) -> Callable:
+    """(variables, wave [B, T]) -> (emb, logits) — the weights arrive as
+    a jit ARGUMENT (see make_score_fn note)."""
+
+    def fn(variables, x):
+        out = model.apply(variables, x, train=False)
+        if isinstance(out, tuple):
+            return out
+        return out, out
+
+    return fn
+
+
+def aot_compile(fn: Callable, batch: int, length: int, mesh=None,
+                variables=None):
     """Ahead-of-time compile for a fixed input shape.
 
     mesh: optional 1-axis data-parallel jax.sharding.Mesh
     (occm_tpu.classify.make_dp_mesh) — the batch axis of the compiled
     executable is sharded over it, the TPU equivalent of the reference's
     DataParallel at inference (reference: oc_classifier.py:343). `batch`
-    must be a multiple of the mesh size."""
-    x = jax.ShapeDtypeStruct((batch, length), jnp.float32)
-    if mesh is None:
-        return jax.jit(fn).lower(x).compile()
+    must be a multiple of the mesh size.
+
+    variables: optional model-variable tree (already device_put by the
+    caller or host arrays). When given, `fn` takes (variables, x); the
+    tree ships to the device ONCE as data and the compiled callable
+    still takes just the wave batch."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    (ax,) = mesh.axis_names
-    sh = NamedSharding(mesh, P(ax))
-    return jax.jit(fn, in_shardings=sh, out_shardings=sh).lower(x).compile()
+    x = jax.ShapeDtypeStruct((batch, length), jnp.float32)
+    if variables is None:
+        if mesh is None:
+            return jax.jit(fn).lower(x).compile()
+        (ax,) = mesh.axis_names
+        sh = NamedSharding(mesh, P(ax))
+        return jax.jit(fn, in_shardings=sh,
+                       out_shardings=sh).lower(x).compile()
+    if mesh is None:
+        v = jax.device_put(variables)
+        exe = jax.jit(fn).lower(v, x).compile()
+    else:
+        (ax,) = mesh.axis_names
+        sh = NamedSharding(mesh, P(ax))
+        rep = NamedSharding(mesh, P())
+        v = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, rep), variables)
+        v_sh = jax.tree_util.tree_map(lambda a: rep, v)
+        exe = jax.jit(fn, in_shardings=(v_sh, sh),
+                      out_shardings=sh).lower(v, x).compile()
+    return lambda b: exe(v, b)
 
 
 def export_stablehlo(fn: Callable, batch: int, length: int,
@@ -88,6 +128,7 @@ class ScoringService:
         batch: int = 8,
         mesh=None,
         score_fn_factory: Optional[Callable[[int], Callable]] = None,
+        variables=None,
     ):
         """mesh: optional 1-axis dp mesh (occm_tpu.classify.make_dp_mesh);
         bucket executables shard their batch axis over it and `batch` is
@@ -96,7 +137,13 @@ class ScoringService:
         score_fn_factory(bucket_samples) -> score_fn: per-bucket scoring
         functions (mutually exclusive with score_fn) — the serving side of
         attention_impl="auto" (occm_tpu.classify.impl_select): each bucket
-        executable is AOT-compiled from the impl that wins at its length."""
+        executable is AOT-compiled from the impl that wins at its length.
+
+        variables: optional model-variable tree; score fns then take
+        (variables, x) and the tree is device_put ONCE and passed as a
+        jit argument (see aot_compile — closure-captured 300M weights
+        serialize into the program and break remote-compile
+        transports)."""
         if (score_fn is None) == (score_fn_factory is None):
             raise ValueError(
                 "pass exactly one of score_fn / score_fn_factory")
@@ -108,6 +155,16 @@ class ScoringService:
         if mesh is not None:
             n = mesh.devices.size
             batch = ((batch + n - 1) // n) * n
+        if variables is None:
+            self._vars = None
+        elif mesh is None:
+            self._vars = jax.device_put(variables)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self._vars = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, rep), variables)
         self.batch = batch
         self.buckets = sorted(buckets)
         self._compiled: Dict[int, Callable] = {}
@@ -120,7 +177,8 @@ class ScoringService:
         if bucket not in self._compiled:
             fn = self._fn if self._factory is None else self._factory(bucket)
             self._compiled[bucket] = aot_compile(
-                fn, self.batch, bucket, mesh=self.mesh)
+                fn, self.batch, bucket, mesh=self.mesh,
+                variables=self._vars)
         return self._compiled[bucket]
 
     def _bucket_for(self, n: int) -> int:
