@@ -126,3 +126,83 @@ def test_scoring_service_factory_matches_plain():
     s2, p2 = via.score(waves)
     np.testing.assert_array_equal(s1, s2)
     np.testing.assert_array_equal(p1, p2)
+
+
+def test_variables_as_args_byte_identical():
+    """BucketedEmbedder(variables=...) passes the weight tree as a jit
+    ARGUMENT instead of a closure capture (closure-baked 300M constants
+    serialize into the program and break remote-compile transports —
+    hit for real by the scoring CLI through the TPU tunnel). Results
+    must be byte-identical to the closure path, with and without a dp
+    mesh."""
+    from occm_tpu.classify import make_dp_mesh
+
+    enc = XLSREncoder(XLSRConfig.tiny())
+    variables = enc.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 3200), jnp.float32),
+    )
+
+    def fn_closure(x):
+        h = enc.apply(variables, x)
+        return jnp.mean(h, axis=1), jnp.sum(h, axis=(1, 2))[:, None]
+
+    def fn_args(v, x):
+        h = enc.apply(v, x)
+        return jnp.mean(h, axis=1), jnp.sum(h, axis=(1, 2))[:, None]
+
+    rng = np.random.default_rng(8)
+    waves = [(0.2 * rng.normal(size=n)).astype(np.float32)
+             for n in (1500, 3200, 5000, 2800)]
+
+    plain = BucketedEmbedder(fn_closure, bucket_step=3200, batch_size=2)
+    via_vars = BucketedEmbedder(fn_args, bucket_step=3200, batch_size=2,
+                                variables=variables)
+    e1, l1 = plain.embed_all(waves)
+    e2, l2 = via_vars.embed_all(waves)
+    np.testing.assert_array_equal(e1, e2)
+    np.testing.assert_array_equal(l1, l2)
+
+    # dp mesh: same batch size so the program shape matches; fp-level
+    # tolerance like tests/test_scoring_dp.py (the partitioner's fusion
+    # choices differ from the single-device program)
+    plain8 = BucketedEmbedder(fn_closure, bucket_step=3200, batch_size=8)
+    e8, _ = plain8.embed_all(waves)
+    mesh = make_dp_mesh()
+    dp = BucketedEmbedder(fn_args, bucket_step=3200, batch_size=8,
+                          mesh=mesh, variables=variables)
+    e3, _ = dp.embed_all(waves)
+    np.testing.assert_allclose(e8, e3, rtol=1e-6, atol=1e-6)
+
+
+def test_scoring_service_variables_as_args():
+    from occm_tpu.serve import ScoringService
+
+    enc = XLSREncoder(XLSRConfig.tiny())
+    variables = enc.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 3200), jnp.float32),
+    )
+
+    def fn_closure(x):
+        h = enc.apply(variables, x)
+        return jnp.mean(h, axis=1), jnp.sum(h, axis=(1, 2))[:, None]
+
+    def fn_args(v, x):
+        h = enc.apply(v, x)
+        return jnp.mean(h, axis=1), jnp.sum(h, axis=(1, 2))[:, None]
+
+    rng = np.random.default_rng(9)
+    waves = [(0.2 * rng.normal(size=n)).astype(np.float32)
+             for n in (1500, 3000, 5000)]
+    ref = np.zeros(64, np.float32)
+    plain = ScoringService(fn_closure, ref, 1.0, buckets=(3200, 6400),
+                           batch=2)
+    via = ScoringService(score_fn_factory=lambda b: fn_args,
+                         reference_embedding=ref, threshold=1.0,
+                         buckets=(3200, 6400), batch=2,
+                         variables=variables)
+    s1, p1 = plain.score(waves)
+    s2, p2 = via.score(waves)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(p1, p2)
