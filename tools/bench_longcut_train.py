@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--scan", type=int, default=2)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--exact", action="store_true",
+                    help="exact numerics (fp32 norms/softmax, erf GELU) "
+                    "instead of the bench fast-numerics config — the "
+                    "regime where the Pallas kernels' fp32 softmax is "
+                    "no longer a handicap")
     ap.add_argument("--jsonl", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "metrics.jsonl"))
@@ -67,6 +72,11 @@ def main():
     if args.tiny:
         base_xlsr = XLSRConfig.tiny()
         acfg = AASISTConfig.tiny()
+    elif args.exact:
+        base_xlsr = dataclasses.replace(
+            XLSRConfig(), remat_policy="attn_out_inner", conv_remat=True,
+        )
+        acfg = AASISTConfig()
     else:
         # bench numerics (bench.py config): fast norms + remat ladder
         base_xlsr = dataclasses.replace(
@@ -150,7 +160,8 @@ def main():
             float(m["loss"])
             dt = time.perf_counter() - t0
             utt = batch * args.scan * args.reps / dt
-            record(f"longcut_{sec}s_{impl}", utt, utt * sec)
+            record(f"longcut_{sec}s_{impl}"
+       + ("_exact" if args.exact else ""), utt, utt * sec)
             del multi, state
 
     with open(args.jsonl, "a") as f:
