@@ -116,6 +116,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="layout of the positional conv (same math, same checkpoint "
              "tree — occm_tpu.ops.pos_conv; measured ledger in DESIGN.md)")
     parser.add_argument(
+        "--attention_impl", type=str, default="auto",
+        help='attention layout for training: "auto" (default) resolves '
+             "from --cut and the numerics config via the measured long-"
+             "cut tables (occm_tpu.classify.impl_select / DESIGN.md: "
+             "Pallas kernels win exact-numerics cuts >=5 s, +10-15% "
+             "fwd+bwd; XLA wins the 4 s reference cut and bf16-norm "
+             "configs); or pin xla | xla_merged | packed[N] | flash")
+    parser.add_argument(
         "--steps_per_dispatch", type=int, default=1,
         help="scan k optimizer steps per device dispatch (amortises the "
              "fixed dispatch cost; ragged tails are flushed)")
@@ -265,6 +273,16 @@ def main(argv=None):
         )
     if args.seq_parallel:
         xlsr_cfg = dataclasses.replace(xlsr_cfg, seq_parallel=True)
+    # training-side attention layout: same measured policy as scoring
+    # (impl_select), keyed on the fixed training cut and numerics — the
+    # 4 s reference cut stays on the XLA path, exact-numerics long-cut
+    # fine-tunes get the flash kernels (+10-15% fwd+bwd, DESIGN.md)
+    from occm_tpu.classify.impl_select import select_attention_impl
+
+    impl = select_attention_impl(cfg.cut, args.attention_impl,
+                                 norm_dtype=xlsr_cfg.norm_dtype)
+    if impl != xlsr_cfg.attention_impl:
+        xlsr_cfg = dataclasses.replace(xlsr_cfg, attention_impl=impl)
     model, output_kind = make_model(args.model, xlsr_cfg)
 
     prefix = cfg.checkpoint_prefix  # reference naming: aasist_vocoded_{e}
