@@ -69,7 +69,7 @@ class BucketedEmbedder:
                  max_len: Optional[int] = None, batch_size: int = 8,
                  mesh: Optional[Mesh] = None,
                  embed_fn_factory: Optional[Callable[[int], Callable]] = None,
-                 variables=None):
+                 variables=None, decode_threads: int = 8):
         """max_len=None (default) never truncates: every utterance gets a
         bucket at least its own length, exactly like the reference's
         full-length batch=1 scoring (reference: oc_classifier.py:93-94).
@@ -118,6 +118,10 @@ class BucketedEmbedder:
         self.bucket_step = bucket_step
         self.max_len = max_len
         self.batch_size = batch_size
+        # default thread count for the native batch decode in embed_paths
+        # (match it to the eval host's cores; the 1-core CI host still
+        # overlaps decode with device compute through the prefetcher)
+        self.decode_threads = decode_threads
 
     def _jit(self, fn: Callable) -> Callable:
         if self.mesh is None:
@@ -211,7 +215,7 @@ class BucketedEmbedder:
 
     def embed_paths(self, paths: List[str],
                     progress: Optional[Callable[[int], None]] = None,
-                    decode_threads: int = 8
+                    decode_threads: Optional[int] = None
                     ) -> Tuple[np.ndarray, np.ndarray]:
         """Scoring fast lane (r4 verdict item 2): embed files by path with
         the C++ threaded batch decoder feeding the device.
@@ -232,6 +236,9 @@ class BucketedEmbedder:
         Falls back to Python decode per file when the native library is
         unavailable (same results, host-bound)."""
         from occm_tpu.io import native
+
+        if decode_threads is None:
+            decode_threads = self.decode_threads
 
         if not native.available():
             from occm_tpu.io.wav import load_audio

@@ -42,6 +42,10 @@ def main(argv=None) -> None:
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--bucket_step", type=int, default=16000)
     parser.add_argument(
+        "--decode_threads", type=int, default=8,
+        help="C++ decode threads for the path-based scoring fast lane "
+             "(match the eval host's cores)")
+    parser.add_argument(
         "--data_parallel", type=int, default=0, metavar="N",
         help="shard embedding batches over N local devices (-1 = all); "
              "see oc_classifier --data_parallel")
@@ -155,6 +159,7 @@ def main(argv=None) -> None:
     embedder = BucketedEmbedder(
         embed_fn_factory=embed_fn_factory, bucket_step=args.bucket_step,
         batch_size=args.batch_size, mesh=mesh, variables=variables,
+        decode_threads=args.decode_threads,
     )
 
     if args.eval:

@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--bucket_step", type=int, default=16000)
     parser.add_argument(
+        "--decode_threads", type=int, default=8,
+        help="C++ decode threads for the path-based scoring fast lane "
+             "(match the eval host's cores)")
+    parser.add_argument(
         "--data_parallel", type=int, default=0, metavar="N",
         help="shard scoring batches over N local devices (-1 = all) — the "
              "TPU equivalent of the reference's DataParallel(aasist) at "
@@ -254,6 +258,7 @@ def main(argv=None):
     embedder = BucketedEmbedder(
         embed_fn_factory=embed_fn_factory, bucket_step=args.bucket_step,
         batch_size=args.batch_size, mesh=mesh, variables=variables,
+        decode_threads=args.decode_threads,
     )
     scorer = OneClassScorer(embedder)
 
