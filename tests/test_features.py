@@ -306,3 +306,37 @@ def test_lpcc_matches_recursion_oracle():
             acc = sum((k / n) * c[k] * a[t, n - k] for k in range(1, n))
             c[n] = -a[t, n] - acc
         np.testing.assert_allclose(ours[t], c, rtol=1e-4, atol=1e-5)
+
+
+def test_cwt_matches_analytic_time_domain_wavelet():
+    """The FFT-based morlet CWT against an INDEPENDENT time-domain
+    oracle: the frequency kernel K_s(w) = pi^(-1/4) sqrt(2 pi s)
+    exp(-(s w - w0)^2/2) theta(w>0) inverse-transforms analytically
+    (pencil-and-paper Gaussian integral; the w>0 truncation drops only
+    Phi(-w0) ~ 3e-7 of the mass at w0=5) to
+        h_s(u) = pi^(-1/4) s^(-1/2) exp(i w0 u / s) exp(-u^2 / (2 s^2)),
+    so a naive O(n^2) direct convolution with h_s must reproduce the
+    FFT path. Checks normalisation, scale map, analyticity and the
+    convolution convention with no FFT in the oracle."""
+    import numpy as np
+
+    from occm_tpu.audio import features
+
+    n = 128
+    rng = np.random.default_rng(15)
+    y = (0.5 * rng.normal(size=n)).astype(np.float32)
+    widths = np.array([5.0, 10.0, 20.0])
+    W = np.asarray(features.extract_cwt(y, 16000, widths=widths, w0=5.0))
+    assert W.shape == (3, n)
+
+    u = np.arange(-n + 1, n)  # |t - tau| < n; the zero pad kills wrap
+    for i, s in enumerate(widths):
+        h = (np.pi ** -0.25) / np.sqrt(s) * np.exp(
+            1j * 5.0 * u / s - u ** 2 / (2 * s ** 2))
+        ref = np.array([
+            sum(y[tau] * h[(t - tau) + n - 1] for tau in range(n))
+            for t in range(n)
+        ])
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(W[i] / scale, ref / scale, atol=5e-3,
+                                   err_msg=f"scale {s}")
