@@ -205,9 +205,29 @@ def _run_bwd(q, k, v, do, t_valid: int, scale: float, interpret: bool):
 
 # ------------------------------------------- blocked kernel (long T)
 
-# Tile edge for the online-softmax kernel: [512, 512] fp32 logits tile is
-# 1 MB VMEM; the PV dot contracts 512 deep (full MXU depth, the regime
-# DESIGN.md's r3 post-mortem predicts kernels start winning in).
+# Tile edge for the online-softmax kernel, chosen PER CALL: the largest
+# of (1024, 512) that does not increase padding. Bigger tiles amortise
+# the fixed per-grid-step cost — measured at T=2048 on v5e: 1024-tiles
+# run the forward in 2.55 vs 4.00 ms (-36%) and fwd+bwd in 13.4 vs 15.4
+# ms (-13%) — but padding a non-multiple T to 1024 (e.g. T=1500 -> 2048
+# instead of 1536) costs more FLOPs than the tiling wins, so alignment
+# decides. VMEM bounds both: the backward holds ~3 fp32 [blk, blk]
+# tensors (12 MB at 1024 — fits). OCM_FLASH_BLK pins a tile size for
+# experiments.
+import os as _os
+
+_BLK_ENV = _os.environ.get("OCM_FLASH_BLK")
+
+
+def _pick_blk(t: int) -> int:
+    if _BLK_ENV:
+        return int(_BLK_ENV)
+    pad1024 = -(-t // 1024) * 1024
+    pad512 = -(-t // 512) * 512
+    return 1024 if pad1024 == pad512 else 512
+
+
+# default tile for wrappers that need a static reference (tests)
 _BLK = 512
 
 
@@ -266,8 +286,9 @@ def _blocked_fwd_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref,
 
 def _run_blocked_fwd(q, k, v, t_valid: int, scale: float, interpret: bool):
     B, H, T, D = q.shape
-    assert T % _BLK == 0, (T, _BLK)
-    nq = nk = T // _BLK
+    blk = _pick_blk(t_valid)
+    assert T % blk == 0, (T, blk)
+    nq = nk = T // blk
     qf = q.reshape(B * H, T, D)
     ktf = jnp.swapaxes(k.reshape(B * H, T, D), 1, 2)     # [BH, D, T]
     vf = v.reshape(B * H, T, D)
@@ -280,23 +301,23 @@ def _run_blocked_fwd(q, k, v, t_valid: int, scale: float, interpret: bool):
         ],
         grid=(B * H, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((1, blk, D), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, _BLK), lambda b, i, j: (b, 0, j),
+            pl.BlockSpec((1, D, blk), lambda b, i, j: (b, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((1, blk, D), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((1, blk, D), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLK, 128), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((1, blk, 128), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_BLK, 128), jnp.float32),   # running max
-            pltpu.VMEM((_BLK, 128), jnp.float32),   # running sum
-            pltpu.VMEM((_BLK, D), jnp.float32),     # output accumulator
+            pltpu.VMEM((blk, 128), jnp.float32),    # running max
+            pltpu.VMEM((blk, 128), jnp.float32),    # running sum
+            pltpu.VMEM((blk, D), jnp.float32),      # output accumulator
         ],
         # kv dim is a running reduction -> sequential ("arbitrary")
         compiler_params=pltpu.CompilerParams(
@@ -384,8 +405,9 @@ def _blocked_dkv_kernel(q_ref, kt_ref, vt_ref, do_ref, lse_ref, delta_ref,
 def _run_blocked_bwd(q, k, v, o, lse, do, t_valid: int, scale: float,
                      interpret: bool):
     B, H, T, D = q.shape
-    assert T % _BLK == 0, (T, _BLK)
-    nq = nk = T // _BLK
+    blk = _pick_blk(t_valid)
+    assert T % blk == 0, (T, blk)
+    nq = nk = T // blk
     flat = lambda x: x.reshape(B * H, T, D)
     flat_t = lambda x: jnp.swapaxes(x.reshape(B * H, T, D), 1, 2)
     qf, kf, dof = flat(q), flat(k), flat(do)
@@ -398,13 +420,13 @@ def _run_blocked_bwd(q, k, v, o, lse, do, t_valid: int, scale: float,
         (B * H, T, 128),
     )
 
-    td = pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, i, 0),
+    td = pl.BlockSpec((1, blk, D), lambda b, i, j: (b, i, 0),
                       memory_space=pltpu.VMEM)
-    ktb = pl.BlockSpec((1, D, _BLK), lambda b, i, j: (b, 0, j),
+    ktb = pl.BlockSpec((1, D, blk), lambda b, i, j: (b, 0, j),
                        memory_space=pltpu.VMEM)
-    kb = pl.BlockSpec((1, _BLK, D), lambda b, i, j: (b, j, 0),
+    kb = pl.BlockSpec((1, blk, D), lambda b, i, j: (b, j, 0),
                       memory_space=pltpu.VMEM)
-    rowq = pl.BlockSpec((1, _BLK, 128), lambda b, i, j: (b, i, 0),
+    rowq = pl.BlockSpec((1, blk, 128), lambda b, i, j: (b, i, 0),
                         memory_space=pltpu.VMEM)
     seq = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"))
@@ -416,19 +438,19 @@ def _run_blocked_bwd(q, k, v, o, lse, do, t_valid: int, scale: float,
         grid=(B * H, nq, nk),
         in_specs=[td, ktb, kb, ktb, td, rowq, rowq],
         out_specs=td,
-        scratch_shapes=[pltpu.VMEM((_BLK, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((blk, D), jnp.float32)],
         compiler_params=seq,
         interpret=interpret,
     )(qf, ktf, kf, vtf, dof, lse, delta)
 
     # dkv: grid dim 1 indexes the KV block, dim 2 sweeps q blocks
-    tdq = pl.BlockSpec((1, _BLK, D), lambda b, j, i: (b, i, 0),
+    tdq = pl.BlockSpec((1, blk, D), lambda b, j, i: (b, i, 0),
                        memory_space=pltpu.VMEM)
-    ktbq = pl.BlockSpec((1, D, _BLK), lambda b, j, i: (b, 0, j),
+    ktbq = pl.BlockSpec((1, D, blk), lambda b, j, i: (b, 0, j),
                         memory_space=pltpu.VMEM)
-    rowq2 = pl.BlockSpec((1, _BLK, 128), lambda b, j, i: (b, i, 0),
+    rowq2 = pl.BlockSpec((1, blk, 128), lambda b, j, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
-    dtb = pl.BlockSpec((1, D, _BLK), lambda b, j, i: (b, 0, j),
+    dtb = pl.BlockSpec((1, D, blk), lambda b, j, i: (b, 0, j),
                        memory_space=pltpu.VMEM)
     dkT, dvT = pl.pallas_call(
         functools.partial(_blocked_dkv_kernel, t_valid=t_valid,
@@ -441,8 +463,8 @@ def _run_blocked_bwd(q, k, v, o, lse, do, t_valid: int, scale: float,
         in_specs=[tdq, ktbq, ktbq, tdq, rowq2, rowq2],
         out_specs=[dtb, dtb],
         scratch_shapes=[
-            pltpu.VMEM((D, _BLK), jnp.float32),
-            pltpu.VMEM((D, _BLK), jnp.float32),
+            pltpu.VMEM((D, blk), jnp.float32),
+            pltpu.VMEM((D, blk), jnp.float32),
         ],
         compiler_params=seq,
         interpret=interpret,
@@ -545,7 +567,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Tp = _round_up(max(T, 128), 128)
     blocked = Tp > 512
     if blocked:
-        Tp = _round_up(T, _BLK)
+        Tp = _round_up(T, _pick_blk(T))
 
     def prep(x):
         x = jnp.transpose(x, (0, 2, 1, 3))  # [B,H,T,D]
