@@ -215,19 +215,11 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    # share the suite's persistent compile cache (tests/conftest.py):
-    # the worker programs are identical across runs, and 4 workers on the
-    # 1-core CI host otherwise re-pay every compile at quarter speed
-    cache = os.environ.get(
-        "OCCM_TEST_COMPILE_CACHE",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"),
-    )
-    if cache != "0":
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # NOTE: deliberately NO persistent compile cache here. Sharing the
+    # suite's cache (tests/conftest.py) looked like an easy speedup, but
+    # XLA:CPU AOT cache loads under jax.distributed crash workers on this
+    # host (machine-feature-stamp mismatch -> one worker dies -> the
+    # others' Gloo context init times out at 30 s; measured r5).
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}",
         num_processes=n_proc,

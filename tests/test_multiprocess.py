@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from occm_tpu.io.wav import write_wav
+from occm_tpu.parallel import compute_mesh
 
 pytestmark = pytest.mark.slow  # 2 worker processes x many CPU compiles
 
