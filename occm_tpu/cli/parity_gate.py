@@ -268,6 +268,10 @@ def main(argv=None) -> int:
         return float(eer)
 
     flags = ["--fast_numerics"] if args.fast_numerics else []
+    # measured values sit at the summary's TOP level, beside "stages"
+    # (stage entries are {ok, detail} records; mixing scalars in broke
+    # consumers — tests/test_parity_gate.py reads summary["eer_value"])
+    values = {}
     try:
         eer = score_and_eer("fp32", flags)
         if args.ref_eer is not None:
@@ -278,7 +282,7 @@ def main(argv=None) -> int:
         else:
             stage("eer", True, f"EER {eer:.4f} (no --ref_eer given: "
                                "recorded, not gated)")
-        results["eer_value"] = eer
+        values["eer_value"] = eer
     except Exception as e:  # noqa: BLE001
         stage("eer", False, f"{type(e).__name__}: {e}")
         eer = None
@@ -290,12 +294,12 @@ def main(argv=None) -> int:
             stage("int8", delta <= args.int8_gate,
                   f"int8 EER {eer_i8:.4f} vs fp EER {eer:.4f} "
                   f"(|delta| {delta:.4f} <= {args.int8_gate:g}?)")
-            results["eer_int8_value"] = eer_i8
+            values["eer_int8_value"] = eer_i8
         except Exception as e:  # noqa: BLE001
             stage("int8", False, f"{type(e).__name__}: {e}")
 
     ok = not failed
-    print(json.dumps({"stages": results, "ok": ok}))
+    print(json.dumps({"stages": results, "ok": ok, **values}))
     return 0 if ok else 1
 
 
